@@ -1,0 +1,144 @@
+"""Edge-regret prediction model (TPU-native EdgePropertyPredictionModel).
+
+Mirrors the reference architecture exactly (gnngls/models.py:44-70):
+
+  x -> Linear(in, embed)                                  [models.py:57]
+    -> N x AttentionLayer:                                [models.py:59-61]
+         h = x + GATConv(x)            (skip, no self-loop attention)
+         h = BN(h)                                        [models.py:27]
+         h = h + (Linear(embed,512) -> ReLU -> Linear(512,embed))  [models.py:28-34]
+         h = BN(h)                                        [models.py:35]
+    -> Linear(embed, out)                                 [models.py:63]
+
+Load-bearing reference quirk reproduced by default: the layer stack is built
+``for _ in range(n_heads)`` (gnngls/models.py:60), so the effective depth is
+``n_heads`` and the ``n_layers`` argument is ignored.  The shipped checkpoints
+depend on this; set ``depth_from_heads=False`` for the corrected behavior.
+
+Parameters are a plain pytree (NamedTuples / lists); the forward is a pure
+function, jit/vmap/grad-friendly.  Mutable BatchNorm running stats travel in a
+separate ``RegretGNNState`` pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.graph import LineGraphTopology, build_topology
+from ..ops.gat import GATParams, gat_conv, gat_conv_naive, init_gat_params
+from ..ops.linear import LinearParams, init_linear, linear
+from ..ops.norm import BatchNormParams, BatchNormState, batch_norm, init_batch_norm
+
+HIDDEN_DIM = 512  # hardcoded at the reference construction site, models.py:60
+
+
+@dataclasses.dataclass(frozen=True)
+class RegretGNNConfig:
+    in_dim: int = 1
+    embed_dim: int = 128
+    out_dim: int = 1
+    n_layers: int = 3
+    n_heads: int = 8
+    hidden_dim: int = HIDDEN_DIM
+    depth_from_heads: bool = True  # reference bug-compat: depth = n_heads
+
+    @property
+    def depth(self) -> int:
+        return self.n_heads if self.depth_from_heads else self.n_layers
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.n_heads
+
+
+class AttentionLayerParams(NamedTuple):
+    gat: GATParams
+    bn1: BatchNormParams
+    ffn1: LinearParams
+    ffn2: LinearParams
+    bn2: BatchNormParams
+
+
+class AttentionLayerState(NamedTuple):
+    bn1: BatchNormState
+    bn2: BatchNormState
+
+
+class RegretGNNParams(NamedTuple):
+    embed: LinearParams
+    layers: List[AttentionLayerParams]
+    decision: LinearParams
+
+
+class RegretGNNState(NamedTuple):
+    layers: List[AttentionLayerState]
+
+
+def init_params(key, cfg: RegretGNNConfig) -> Tuple[RegretGNNParams, RegretGNNState]:
+    keys = jax.random.split(key, cfg.depth + 2)
+    embed = init_linear(keys[0], cfg.in_dim, cfg.embed_dim)
+    layers, states = [], []
+    for i in range(cfg.depth):
+        kg, k1, k2 = jax.random.split(keys[i + 1], 3)
+        bn1_p, bn1_s = init_batch_norm(cfg.embed_dim)
+        bn2_p, bn2_s = init_batch_norm(cfg.embed_dim)
+        layers.append(
+            AttentionLayerParams(
+                gat=init_gat_params(kg, cfg.embed_dim, cfg.n_heads, cfg.head_dim),
+                bn1=bn1_p,
+                ffn1=init_linear(k1, cfg.embed_dim, cfg.hidden_dim),
+                ffn2=init_linear(k2, cfg.hidden_dim, cfg.embed_dim),
+                bn2=bn2_p,
+            )
+        )
+        states.append(AttentionLayerState(bn1=bn1_s, bn2=bn2_s))
+    decision = init_linear(keys[-1], cfg.embed_dim, cfg.out_dim)
+    return RegretGNNParams(embed, layers, decision), RegretGNNState(states)
+
+
+def forward(
+    params: RegretGNNParams,
+    state: RegretGNNState,
+    topo: LineGraphTopology,
+    x: jax.Array,
+    *,
+    n_heads: int,
+    train: bool = False,
+    naive_gat: bool = False,
+) -> Tuple[jax.Array, RegretGNNState]:
+    """x: (..., E, in_dim) -> (..., E, out_dim); also returns updated BN state.
+
+    Matches gnngls/models.py:65-70 + AttentionLayer.forward (models.py:38-40).
+    """
+    conv = gat_conv_naive if naive_gat else gat_conv
+    h = linear(params.embed, x)
+    new_states = []
+    for lp, ls in zip(params.layers, state.layers):
+        h = h + conv(lp.gat, topo, h, n_heads)  # SkipConnection(GATConv), models.py:11-13
+        h, bn1 = batch_norm(lp.bn1, ls.bn1, h, train)
+        h = h + linear(lp.ffn2, jax.nn.relu(linear(lp.ffn1, h)))
+        h, bn2 = batch_norm(lp.bn2, ls.bn2, h, train)
+        new_states.append(AttentionLayerState(bn1=bn1, bn2=bn2))
+    y = linear(params.decision, h)
+    return y, RegretGNNState(new_states)
+
+
+def make_apply(cfg: RegretGNNConfig, n: int, *, train: bool = False, naive_gat: bool = False):
+    """Close over a static topology; returns fn(params, state, x) -> (y, state)."""
+    topo = build_topology(n)
+
+    def apply(params, state, x):
+        return forward(
+            params, state, topo, x,
+            n_heads=cfg.n_heads, train=train, naive_gat=naive_gat,
+        )
+
+    return apply
+
+
+def count_params(params: RegretGNNParams) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,148 @@
+"""Graph attention over the K_n line graph, TPU-first.
+
+Reproduces the math of DGL 0.6.1 ``GATConv`` as used by the reference model
+(gnngls/models.py:22-24): shared linear projection without bias, per-head
+attention vectors attn_l / attn_r, score ``LeakyReLU(el[src] + er[dst], 0.2)``,
+softmax over the destination node's in-neighbors, and a weighted feature sum.
+The reference line graph has no self loops (networkx line_graph;
+gnngls/datasets.py:56), so a node never attends to itself — self state flows
+only through the outer skip connection.
+
+Two implementations:
+
+* ``gat_conv_naive`` — direct gather over the explicit (E, 2(n-2)) neighbor
+  matrix.  O(E * K * C) gather traffic; used as the semantic oracle in tests
+  and for very small n.
+
+* ``gat_conv`` — the TPU-native "city groups" formulation.  For each city u,
+  all (n-1) incident edges form group S_u; a line-graph node (u, v) aggregates
+  over S_u ∪ S_v minus itself.  Scores and weighted sums are computed per
+  group as n batched dense (n-1)x(n-1) contractions (einsum -> MXU), then the
+  two group partial sums are combined per edge with two flat gathers — no
+  scatter, no raggedness, no sparse formats.  The double-counted self term
+  (edge e appears in both of its groups) is subtracted in closed form.
+
+Softmax is stabilized by subtracting, per destination node, the max score over
+both of its groups (an upper bound that includes the self score; subtracting
+any per-destination constant leaves softmax invariant).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph import LineGraphTopology
+
+LEAKY_SLOPE = 0.2  # DGL GATConv default negative_slope
+
+
+class GATParams(NamedTuple):
+    """Parameters of one GAT layer (DGL 0.6.1 GATConv equivalent).
+
+    fc_w:    (C_in, H * F) projection weight (no bias, as in DGL 0.6.1).
+    attn_l:  (H, F) source attention vector.
+    attn_r:  (H, F) destination attention vector.
+    """
+
+    fc_w: jax.Array
+    attn_l: jax.Array
+    attn_r: jax.Array
+
+
+def init_gat_params(key, c_in: int, n_heads: int, head_dim: int, dtype=jnp.float32) -> GATParams:
+    """Xavier-normal with gain sqrt(2), matching DGL GATConv.reset_parameters."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    gain = np.sqrt(2.0)
+
+    def xavier_normal(k, shape, fan_in, fan_out):
+        std = gain * np.sqrt(2.0 / (fan_in + fan_out))
+        return (std * jax.random.normal(k, shape)).astype(dtype)
+
+    hf = n_heads * head_dim
+    return GATParams(
+        fc_w=xavier_normal(k1, (c_in, hf), c_in, hf),
+        # DGL treats attn_* as (1, H, F) tensors; xavier sees fan_in=F, fan_out=H*F... we
+        # match torch.nn.init.xavier_normal_ on shape (1, H, F): fan_in = F, fan_out = F.
+        attn_l=xavier_normal(k2, (n_heads, head_dim), head_dim, head_dim),
+        attn_r=xavier_normal(k3, (n_heads, head_dim), head_dim, head_dim),
+    )
+
+
+def _project(params: GATParams, x: jax.Array, n_heads: int):
+    """x: (..., E, C_in) -> h: (..., E, H, F), el/er: (..., E, H)."""
+    hf = params.fc_w.shape[1]
+    head_dim = hf // n_heads
+    h = jnp.einsum("...ec,cd->...ed", x, params.fc_w, preferred_element_type=jnp.float32)
+    h = h.reshape(h.shape[:-1] + (n_heads, head_dim))
+    el = jnp.einsum("...ehf,hf->...eh", h, params.attn_l)
+    er = jnp.einsum("...ehf,hf->...eh", h, params.attn_r)
+    return h, el, er
+
+
+def gat_conv_naive(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: int) -> jax.Array:
+    """Direct neighbor-gather implementation (semantic oracle).
+
+    x: (..., E, C_in) -> (..., E, H * F).
+    """
+    h, el, er = _project(params, x, n_heads)
+    nbr = jnp.asarray(topo.nbr)  # (E, K)
+
+    el_n = el[..., nbr, :]  # (..., E, K, H) scores of source neighbors
+    s = jax.nn.leaky_relu(el_n + er[..., :, None, :], LEAKY_SLOPE)
+    alpha = jax.nn.softmax(s, axis=-2)  # over the K neighbors
+    h_n = h[..., nbr, :, :]  # (..., E, K, H, F)
+    out = jnp.einsum("...ekh,...ekhf->...ehf", alpha, h_n)
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
+def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: int) -> jax.Array:
+    """City-group batched-dense implementation (the TPU fast path).
+
+    x: (..., E, C_in) -> (..., E, H * F).  Identical numerics to
+    ``gat_conv_naive`` (up to float addition order).
+    """
+    n = topo.n
+    h, el, er = _project(params, x, n_heads)  # (...,E,H,F), (...,E,H)
+
+    city = jnp.asarray(topo.city_edges)  # (n, n-1)
+    slot_u = jnp.asarray(topo.slot_u)  # (E,)
+    slot_v = jnp.asarray(topo.slot_v)
+
+    # Group-local views: (..., n, n-1, ...)
+    h_c = h[..., city, :, :]  # (..., n, n-1, H, F)
+    el_c = el[..., city, :]  # (..., n, n-1, H)
+    er_c = er[..., city, :]
+
+    # Raw scores within each group: s[u, i, j] = leaky(el[S_u[j]] + er[S_u[i]]).
+    s = jax.nn.leaky_relu(el_c[..., :, None, :, :] + er_c[..., :, :, None, :], LEAKY_SLOPE)
+    # (..., n, tgt n-1, src n-1, H)
+
+    # Per-destination stabilizer: max over both groups (self score included —
+    # harmless, it's still a valid constant shift per destination).
+    m_g = s.max(axis=-2)  # (..., n, n-1, H) max over sources, per (group, tgt)
+    m_flat = m_g.reshape(m_g.shape[:-3] + (n * (n - 1),) + m_g.shape[-1:])
+    m = jnp.maximum(m_flat[..., slot_u, :], m_flat[..., slot_v, :])  # (..., E, H)
+    m_c = m[..., city, :]  # back to group-local target layout (..., n, n-1, H)
+
+    p = jnp.exp(s - m_c[..., :, :, None, :])  # (..., n, n-1, n-1, H)
+
+    # Partial sums per group: denominator and numerator (batched dense matmul).
+    z_g = p.sum(axis=-2)  # (..., n, n-1, H)
+    num_g = jnp.einsum("...uijh,...ujhf->...uihf", p, h_c,
+                       preferred_element_type=jnp.float32)  # (..., n, n-1, H, F)
+
+    z_flat = z_g.reshape(z_g.shape[:-3] + (n * (n - 1),) + z_g.shape[-1:])
+    num_flat = num_g.reshape(num_g.shape[:-4] + (n * (n - 1),) + num_g.shape[-2:])
+
+    # Self term: edge e is a member of both of its groups; remove both copies.
+    s_self = jnp.exp(jax.nn.leaky_relu(el + er, LEAKY_SLOPE) - m)  # (..., E, H)
+
+    z = z_flat[..., slot_u, :] + z_flat[..., slot_v, :] - 2.0 * s_self
+    num = (num_flat[..., slot_u, :, :] + num_flat[..., slot_v, :, :]
+           - 2.0 * s_self[..., None] * h)
+    out = num / z[..., None]
+    return out.reshape(out.shape[:-2] + (-1,))
