@@ -1,0 +1,200 @@
+"""Fixed-shape 2-opt and relocate move operators.
+
+TPU-native re-design of the reference's scalar move loops
+(gnngls/operators.py).  Where the reference evaluates O(n^2) move deltas one
+Python iteration at a time (operators.py:32-50,129-147), we build the full
+(n+1, n+1) delta matrix with a handful of fused vector ops and take a masked
+argmin — one XLA op chain per sweep, vmappable across thousands of instances.
+
+Semantics preserved exactly (verified against a scalar oracle in tests):
+  * tours are closed node arrays of length n+1: depot, ..., depot
+    (reference tour lists, gnngls/__init__.py:9-21);
+  * 2-opt delta  D[a,c] + D[b,d] - D[a,b] - D[c,d] with a=t[i], b=t[i-1],
+    c=t[j], d=t[j-1]  (operators.py:14-29);
+  * relocate delta, 6 terms, asymmetric in i<j / i>j  (operators.py:83-103);
+  * candidate moves: indices in [1, n-1]; 2-opt requires |i-j| >= 2
+    (operators.py:36-38); relocate all-to-all skips i-j == 1 (a duplicate
+    swap, operators.py:134-135) while one-to-all skips only i == j
+    (operators.py:112-113);
+  * accept only strictly-improving moves that are not numerically ~0:
+    `delta < best and not np.isclose(0, delta)` (operators.py:42) becomes a
+    |delta| > EPS_CLOSE threshold;
+  * ties between equal best deltas resolve to the first move in the
+    reference's iteration order (row-major (i, j)) — argmin's first-occurrence
+    rule reproduces this exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# np.isclose(0, delta) <=> |delta| <= atol + rtol*|delta|  (atol=1e-8, rtol=1e-5)
+#                      <=> |delta| <= 1e-8 / (1 - 1e-5)
+EPS_CLOSE = 1e-8 / (1.0 - 1e-5)
+
+_INF = jnp.inf
+
+
+class Move(NamedTuple):
+    delta: jax.Array  # f32 scalar, improvement (negative) or 0
+    i: jax.Array  # i32 scalar
+    j: jax.Array  # i32 scalar
+    found: jax.Array  # bool scalar
+
+
+def tour_cost(D: jax.Array, tour: jax.Array) -> jax.Array:
+    """Closed-tour cost: sum of D over consecutive pairs."""
+    return D[tour[:-1], tour[1:]].sum()
+
+
+def _tour_matrix(D: jax.Array, tour: jax.Array) -> jax.Array:
+    """M[p, q] = D[tour[p], tour[q]], shape (n+1, n+1)."""
+    return D[tour[:, None], tour[None, :]]
+
+
+def _position_grids(nt: int):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
+    return ii, jj
+
+
+# ---------------------------------------------------------------------------
+# 2-opt
+
+
+def _two_opt_delta_matrix(M: jax.Array) -> jax.Array:
+    """delta[i, j] = M[i,j] + M[i-1,j-1] - M[i,i-1] - M[j,j-1] (valid i,j >= 1)."""
+    nt = M.shape[0]
+    shifted = jnp.pad(M[:-1, :-1], ((1, 0), (1, 0)))
+    c = jnp.concatenate([jnp.zeros((1,), M.dtype), jnp.diagonal(M, offset=-1)])
+    return M + shifted - c[:, None] - c[None, :]
+
+
+def two_opt_a2a(tour: jax.Array, D: jax.Array) -> Move:
+    """Best improving 2-opt move over all (i, j).  operators.py:32-50."""
+    nt = tour.shape[0]
+    n = nt - 1
+    M = _tour_matrix(D, tour)
+    delta = _two_opt_delta_matrix(M)
+    ii, jj = _position_grids(nt)
+    valid = (ii >= 1) & (jj <= n - 1) & (jj - ii >= 2) & (delta < -EPS_CLOSE)
+    score = jnp.where(valid, delta, _INF)
+    k = jnp.argmin(score.reshape(-1))
+    best = score.reshape(-1)[k]
+    found = jnp.isfinite(best)
+    return Move(jnp.where(found, best, 0.0), (k // nt).astype(jnp.int32),
+                (k % nt).astype(jnp.int32), found)
+
+
+def two_opt_o2a(tour: jax.Array, D: jax.Array, i: jax.Array) -> Move:
+    """Best improving 2-opt move with one endpoint fixed at position i.
+
+    operators.py:53-73 — j sweeps [1, n-1]; the delta helper symmetrizes
+    (i, j), so j on either side of i is considered.
+    """
+    nt = tour.shape[0]
+    n = nt - 1
+    M = _tour_matrix(D, tour)
+    c = jnp.concatenate([jnp.zeros((1,), M.dtype), jnp.diagonal(M, offset=-1)])
+    jv = jnp.arange(nt, dtype=jnp.int32)
+    lo = jnp.minimum(i, jv)
+    hi = jnp.maximum(i, jv)
+    delta = M[lo, hi] + M[jnp.maximum(lo - 1, 0), jnp.maximum(hi - 1, 0)] - c[lo] - c[hi]
+    valid = (jv >= 1) & (jv <= n - 1) & (jnp.abs(i - jv) >= 2) & (delta < -EPS_CLOSE)
+    score = jnp.where(valid, delta, _INF)
+    j = jnp.argmin(score)
+    best = score[j]
+    found = jnp.isfinite(best)
+    return Move(jnp.where(found, best, 0.0), jnp.minimum(i, j).astype(jnp.int32),
+                jnp.maximum(i, j).astype(jnp.int32), found)
+
+
+def apply_two_opt(tour: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:
+    """Reverse tour positions [i, j-1] (requires i < j).  operators.py:6-11."""
+    nt = tour.shape[0]
+    p = jnp.arange(nt, dtype=jnp.int32)
+    src = jnp.where((p >= i) & (p < j), i + j - 1 - p, p)
+    return tour[src]
+
+
+# ---------------------------------------------------------------------------
+# relocate
+
+
+def _relocate_delta_matrix(M: jax.Array) -> jax.Array:
+    """delta[i, j] of moving the city at position i to position j.
+
+    operators.py:83-103:
+      removal(i) = -M[i-1,i] - M[i,i+1] + M[i-1,i+1]
+      insertion(i, j) = i<j: -M[j,j+1] + M[j,i] + M[i,j+1]
+                        i>j: -M[j-1,j] + M[j-1,i] + M[i,j]
+    Entries outside the valid band contain garbage; callers mask.
+    """
+    nt = M.shape[0]
+    d1 = jnp.diagonal(M, offset=1)  # d1[k] = M[k, k+1]
+    d2 = jnp.diagonal(M, offset=2)  # d2[k] = M[k, k+2]
+    pad1 = jnp.concatenate([d1, jnp.zeros((1,), M.dtype)])  # pad1[k] = M[k,k+1], k<=n-1
+    rem = (-jnp.concatenate([jnp.zeros((1,), M.dtype), d1])  # -M[i-1,i]
+           - pad1  # -M[i,i+1]
+           + jnp.concatenate([jnp.zeros((1,), M.dtype), d2, jnp.zeros((1,), M.dtype)])[:nt])
+    # rem[i] = -M[i-1,i] - M[i,i+1] + M[i-1,i+1], valid for 1 <= i <= n-1
+
+    ii, jj = _position_grids(nt)
+    jp1 = jnp.minimum(jj + 1, nt - 1)
+    jm1 = jnp.maximum(jj - 1, 0)
+    ins_lt = -pad1[jj] + M[jj, ii] + M[ii, jp1]
+    ins_gt = -pad1[jm1] + M[jm1, ii] + M[ii, jj]
+    ins = jnp.where(ii < jj, ins_lt, ins_gt)
+    return rem[:, None] + ins
+
+
+def relocate_a2a(tour: jax.Array, D: jax.Array) -> Move:
+    """Best improving relocate over all ordered (i, j), skipping i-j == 1.
+
+    operators.py:129-147.
+    """
+    nt = tour.shape[0]
+    n = nt - 1
+    M = _tour_matrix(D, tour)
+    delta = _relocate_delta_matrix(M)
+    ii, jj = _position_grids(nt)
+    valid = ((ii >= 1) & (ii <= n - 1) & (jj >= 1) & (jj <= n - 1)
+             & (ii != jj) & (ii - jj != 1) & (delta < -EPS_CLOSE))
+    score = jnp.where(valid, delta, _INF)
+    k = jnp.argmin(score.reshape(-1))
+    best = score.reshape(-1)[k]
+    found = jnp.isfinite(best)
+    return Move(jnp.where(found, best, 0.0), (k // nt).astype(jnp.int32),
+                (k % nt).astype(jnp.int32), found)
+
+
+def relocate_o2a(tour: jax.Array, D: jax.Array, i: jax.Array) -> Move:
+    """Best improving relocate of the city at position i (skips only i == j).
+
+    operators.py:106-126 — note i-j == 1 is NOT skipped here, matching the
+    reference's one-to-all variant.
+    """
+    nt = tour.shape[0]
+    n = nt - 1
+    M = _tour_matrix(D, tour)
+    delta_row = _relocate_delta_matrix(M)[i]
+    jv = jnp.arange(nt, dtype=jnp.int32)
+    valid = (jv >= 1) & (jv <= n - 1) & (jv != i) & (delta_row < -EPS_CLOSE)
+    score = jnp.where(valid, delta_row, _INF)
+    j = jnp.argmin(score)
+    best = score[j]
+    found = jnp.isfinite(best)
+    return Move(jnp.where(found, best, 0.0), i.astype(jnp.int32), j.astype(jnp.int32), found)
+
+
+def apply_relocate(tour: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:
+    """Pop position i, insert at position j.  operators.py:76-80."""
+    nt = tour.shape[0]
+    p = jnp.arange(nt, dtype=jnp.int32)
+    src_lt = jnp.where(p < i, p, jnp.where(p < j, p + 1, jnp.where(p == j, i, p)))
+    src_gt = jnp.where(p < j, p, jnp.where(p == j, i, jnp.where(p <= i, p - 1, p)))
+    src = jnp.where(i < j, src_lt, src_gt)
+    return tour[jnp.clip(src, 0, nt - 1)]
