@@ -1,0 +1,236 @@
+"""TSP solver oracles for label generation.
+
+The reference shells out to two C solvers: Concorde for optimal tours
+(gnngls/__init__.py:47-52) and LKH-3 for near-optimal tours through a forced
+edge (gnngls/__init__.py:63-74, used per edge for regret labels,
+gnngls/datasets.py:23-34).  Neither binary ships in this environment, so the
+framework provides a tiered oracle:
+
+  1. ``held_karp`` — exact bitmask DP, feasible to ~n=16.  Forced edges via an
+     exact big-M reduction (subtract M from the forced edge; any tour using it
+     beats any tour that doesn't, and M is added back).
+  2. ``gls_oracle`` — our own TPU GLS at a large move budget, vmapped over
+     many problems at once (e.g. all E forced-edge label solves of an
+     instance in one batch).  Near-optimal, massively parallel; this replaces
+     the per-edge LKH hot loop (SURVEY §3.1) with one device launch.
+  3. ``concorde_tour`` / ``lkh_fixed_edge_tour`` — subprocess wrappers used
+     automatically when the binaries exist on PATH (drop-in reference
+     fidelity; label generation is host-side work either way).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+HELD_KARP_MAX_N = 16
+
+
+def held_karp(D: np.ndarray) -> Tuple[list, float]:
+    """Exact TSP via Held-Karp DP.  Returns (closed tour from 0, cost).
+
+    O(2^n * n^2); intended for n <= HELD_KARP_MAX_N.
+    """
+    D = np.asarray(D, dtype=np.float64)
+    n = D.shape[0]
+    if n > HELD_KARP_MAX_N:
+        raise ValueError(f"held_karp limited to n<={HELD_KARP_MAX_N}, got {n}")
+    if n == 2:
+        return [0, 1, 0], float(D[0, 1] * 2)
+    m = n - 1  # cities 1..n-1
+    full = 1 << m
+    INF = np.inf
+    dp = np.full((full, m), INF)
+    parent = np.full((full, m), -1, dtype=np.int32)
+    for j in range(m):
+        dp[1 << j, j] = D[0, j + 1]
+    Dsub = D[1:, 1:]  # (m, m)
+    for mask in range(1, full):
+        row = dp[mask]
+        if not np.isfinite(row).any():
+            continue
+        js = np.flatnonzero(np.isfinite(row))
+        # extend to every k not in mask
+        ext = row[js, None] + Dsub[js, :]  # (|js|, m)
+        arg = np.argmin(ext, axis=0)
+        best = ext[arg, np.arange(m)]
+        for k in range(m):
+            if mask & (1 << k):
+                continue
+            nmask = mask | (1 << k)
+            if best[k] < dp[nmask, k]:
+                dp[nmask, k] = best[k]
+                parent[nmask, k] = js[arg[k]]
+    fullmask = full - 1
+    tot = dp[fullmask] + D[1:, 0]
+    j = int(np.argmin(tot))
+    cost = float(tot[j])
+    # reconstruct
+    tour = [0]
+    mask, cur = fullmask, j
+    rev = []
+    while cur != -1:
+        rev.append(cur + 1)
+        pj = parent[mask, cur]
+        mask &= ~(1 << cur)
+        cur = pj
+    tour += rev[::-1] + [0]
+    return tour, cost
+
+
+def held_karp_fixed_edge(D: np.ndarray, e: Tuple[int, int]) -> Tuple[list, float]:
+    """Exact optimal tour constrained to use edge e (big-M reduction)."""
+    D = np.asarray(D, dtype=np.float64)
+    M = D.sum() + 1.0
+    D2 = D.copy()
+    u, v = e
+    D2[u, v] -= M
+    D2[v, u] -= M
+    tour, cost = held_karp(D2)
+    return tour, float(cost + M)
+
+
+# ---------------------------------------------------------------------------
+# GLS-based near-optimal oracle (TPU, batched)
+
+
+def gls_oracle(Ds: np.ndarray, *, n_iters: int = 25, perturbation_moves: int = 30,
+               seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Near-optimal tours for a batch of instances via our own GLS.
+
+    Ds: (B, n, n).  Returns (tours (B, n+1) int32, costs (B,)).
+    Weight-guided GLS from a nearest-neighbor start, large move budget.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..search import construct, local_search as ls
+
+    Ds = np.asarray(Ds, dtype=np.float32)
+
+    def solve(D):
+        init = construct.nearest_neighbor(D, 0)
+        out = ls.guided_local_search(D, D[None], init, n_iters=n_iters,
+                                     perturbation_moves=perturbation_moves)
+        return out.best_tour, out.best_cost
+
+    tours, costs = jax.jit(jax.vmap(solve))(jnp.asarray(Ds))
+    return np.asarray(tours), np.asarray(costs)
+
+
+def gls_fixed_edge_costs(D: np.ndarray, edges: np.ndarray, *, n_iters: int = 10,
+                         perturbation_moves: int = 30
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Near-optimal tour cost through each forced edge, one batch per instance.
+
+    The reference solves one LKH run per edge (gnngls/datasets.py:30); here
+    all E forced-edge problems of an instance run as a single vmapped batch.
+    Forcing uses the exact big-M reduction; the returned costs are in the
+    original metric (M added back).  The penalty scale k is computed from the
+    *unreduced* initial cost so GLS dynamics stay sane on the reduced matrix.
+
+    Returns (costs (E,), used (E,) bool — whether the forced edge is actually
+    in the returned tour; callers should re-solve or fall back otherwise).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..search import construct, local_search as ls
+
+    D = np.asarray(D, dtype=np.float64)
+    n = D.shape[0]
+    M = float(D.sum() + 1.0)
+    E = edges.shape[0]
+    D2 = np.broadcast_to(D, (E,) + D.shape).copy()
+    D2[np.arange(E), edges[:, 0], edges[:, 1]] -= M
+    D2[np.arange(E), edges[:, 1], edges[:, 0]] -= M
+
+    Dtrue = jnp.asarray(D, dtype=jnp.float32)
+
+    def solve(Dr):
+        init = construct.nearest_neighbor(Dr, 0)
+        k = 0.1 * ls.mv.tour_cost(Dtrue, init) / n
+        out = ls.guided_local_search(Dr, Dr[None], init, n_iters=n_iters,
+                                     perturbation_moves=perturbation_moves, k=k)
+        return out.best_cost, out.best_tour
+
+    costs, tours = jax.jit(jax.vmap(solve))(jnp.asarray(D2, dtype=jnp.float32))
+    tours = np.asarray(tours)
+    a, b = tours[:, :-1], tours[:, 1:]
+    used = (((a == edges[:, :1]) & (b == edges[:, 1:2]))
+            | ((a == edges[:, 1:2]) & (b == edges[:, :1]))).any(axis=1)
+    return np.asarray(costs, dtype=np.float64) + M, used
+
+
+# ---------------------------------------------------------------------------
+# External C solvers (used when available; reference fidelity)
+
+
+def has_concorde() -> bool:
+    return shutil.which("concorde") is not None
+
+
+def has_lkh(lkh_path: str = "LKH") -> bool:
+    return shutil.which(lkh_path) is not None
+
+
+def _write_tsplib(path: Path, coords: np.ndarray, scale: float,
+                  fixed_edge: Optional[Sequence[int]] = None) -> None:
+    n = coords.shape[0]
+    with open(path, "w") as f:
+        f.write("NAME: TSP\nTYPE: TSP\n")
+        f.write(f"DIMENSION: {n}\nEDGE_WEIGHT_TYPE: EUC_2D\n")
+        f.write("NODE_COORD_SECTION\n")
+        for i, (x, y) in enumerate(coords):
+            f.write(f"{i + 1} {x * scale:.0f} {y * scale:.0f}\n")
+        if fixed_edge is not None:
+            u, v = fixed_edge
+            f.write(f"FIXED_EDGES_SECTION\n{u + 1} {v + 1}\n-1\n")
+        f.write("EOF\n")
+
+
+def concorde_tour(coords: np.ndarray, scale: float = 1e6) -> list:
+    """Optimal tour via the Concorde binary (gnngls/__init__.py:47-52)."""
+    if not has_concorde():
+        raise RuntimeError("concorde binary not on PATH")
+    with tempfile.TemporaryDirectory() as td:
+        tsp = Path(td) / "p.tsp"
+        _write_tsplib(tsp, coords, scale)
+        sol = Path(td) / "p.sol"
+        subprocess.run(["concorde", "-x", "-o", str(sol), str(tsp)],
+                       cwd=td, check=True, capture_output=True)
+        toks = sol.read_text().split()
+        tour = [int(t) for t in toks[1:]]
+    return tour + [0]
+
+
+def lkh_fixed_edge_tour(coords: np.ndarray, e: Sequence[int], scale: float = 1e6,
+                        lkh_path: str = "LKH", max_trials: int = 100,
+                        runs: int = 10) -> list:
+    """Near-optimal tour through edge e via the LKH-3 binary
+    (gnngls/__init__.py:63-74; called with scale=1e6, max_trials=100, runs=10
+    from gnngls/datasets.py:30)."""
+    if not has_lkh(lkh_path):
+        raise RuntimeError(f"{lkh_path} binary not on PATH")
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        _write_tsplib(td / "p.tsp", coords, scale, fixed_edge=e)
+        tourf = td / "p.tour"
+        (td / "p.par").write_text(
+            f"PROBLEM_FILE = {td / 'p.tsp'}\nTOUR_FILE = {tourf}\n"
+            f"MAX_TRIALS = {max_trials}\nRUNS = {runs}\nTRACE_LEVEL = 0\n")
+        subprocess.run([lkh_path, str(td / "p.par")], check=True, capture_output=True)
+        lines = tourf.read_text().splitlines()
+        start = lines.index("TOUR_SECTION") + 1
+        tour = []
+        for ln in lines[start:]:
+            val = int(ln.strip())
+            if val == -1:
+                break
+            tour.append(val - 1)
+    return tour + [0]

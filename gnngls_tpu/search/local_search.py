@@ -103,11 +103,17 @@ class GLSState(NamedTuple):
 
 
 def gls_init(D, init_tour, *, trace_cap: int = 1024,
-             max_ls_iters: int = 0) -> GLSState:
-    """Initial full local search on true weights.  algorithms.py:137-143."""
+             max_ls_iters: int = 0, k=None) -> GLSState:
+    """Initial full local search on true weights.  algorithms.py:137-143.
+
+    `k` overrides the penalty scale (default 0.1 * init_cost / n); used by the
+    forced-edge label oracle where D is big-M-reduced and the default would go
+    negative.
+    """
     n = D.shape[0]
     init_cost = mv.tour_cost(D, init_tour)
-    k = 0.1 * init_cost / n
+    if k is None:
+        k = 0.1 * init_cost / n
     res = local_search(init_tour, init_cost, D, make_trace(trace_cap), max_ls_iters)
     return GLSState(
         tour=res.tour, cost=res.cost,
@@ -200,9 +206,9 @@ def gls_iteration(state: GLSState, D, guide_stack, *, perturbation_moves: int,
 @partial(jax.jit, static_argnames=("n_iters", "perturbation_moves", "trace_cap"))
 def guided_local_search(D, guide_stack, init_tour, *, n_iters: int,
                         perturbation_moves: int = 20,
-                        trace_cap: int = 1024) -> GLSState:
+                        trace_cap: int = 1024, k=None) -> GLSState:
     """Fixed-budget GLS on a single instance (jit; vmap for batches)."""
-    state = gls_init(D, init_tour, trace_cap=trace_cap)
+    state = gls_init(D, init_tour, trace_cap=trace_cap, k=k)
 
     def body(_, s):
         return gls_iteration(s, D, guide_stack, perturbation_moves=perturbation_moves)
