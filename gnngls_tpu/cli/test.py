@@ -1,0 +1,81 @@
+"""Evaluate a model: regret inference + guided local search + gap report.
+
+Reference: scripts/test.py:21-29 (flags), :31-35 (params.json + optional
+efeat_drop_idx), :104-108 (mean-gap report), :113-123 (pickled search-progress
+DataFrame).  Accepts our .npz checkpoints and reference .pt checkpoints.
+
+data_path may be a split file (train/val/test.txt next to instances.npz) or a
+reference-format instance listing (paths to gpickles).
+"""
+
+import argparse
+import json
+import pathlib
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Test model")
+    parser.add_argument("data_path", type=pathlib.Path)
+    parser.add_argument("model_path", type=pathlib.Path)
+    parser.add_argument("run_dir", type=pathlib.Path)
+    parser.add_argument("guides", type=str, nargs="+")
+    parser.add_argument("--time_limit", type=float, default=10.0)
+    parser.add_argument("--perturbation_moves", type=int, default=20)
+    parser.add_argument("--n_iters", type=int, default=None,
+                        help="fixed outer-iteration budget instead of wall clock")
+    parser.add_argument("--use_gpu", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=64)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from .. import evaluate as ev
+    from ..core.scaler import load_scalers
+    from ..data import dataset as ds
+    from ..models import regret_gat as M
+
+    root = args.data_path.parent
+    # dataset: our npz + split file, or reference gpickle listing
+    if (root / "instances.npz").exists():
+        scalers_file = (root / "scalers.json" if (root / "scalers.json").exists()
+                        else root / "scalers.pkl")
+        test_set = ds.TSPDataset.from_npz(root / "instances.npz", args.data_path,
+                                          scalers_file=scalers_file)
+    else:
+        test_set = ds.TSPDataset.from_reference_dir(args.data_path)
+
+    params = bn_state = model_cfg = None
+    if "regret_pred" in args.guides:
+        pj = json.load(open(args.model_path.parent / "params.json"))
+        if "efeat_drop_idx" in pj:
+            test_set.feat_drop_idx = list(pj["efeat_drop_idx"])
+        model_cfg = M.RegretGNNConfig(
+            in_dim=test_set.feat_dim, embed_dim=pj["embed_dim"], out_dim=1,
+            n_layers=pj["n_layers"], n_heads=pj["n_heads"],
+            depth_from_heads=pj.get("depth_from_heads", True))
+        if args.model_path.suffix == ".pt":
+            from ..models import torch_import as ti
+            params, bn_state, _ = ti.load_checkpoint(args.model_path, model_cfg)
+        else:
+            from ..train import checkpoint as ck
+            import jax
+            p_like, s_like = M.init_params(jax.random.PRNGKey(0), model_cfg)
+            params, bn_state, _, _ = ck.load_checkpoint(
+                args.model_path, params_like=p_like, bn_state_like=s_like)
+
+    out = ev.evaluate(
+        test_set, params=params, bn_state=bn_state, model_cfg=model_cfg,
+        guides=args.guides, time_limit=args.time_limit, n_iters=args.n_iters,
+        perturbation_moves=args.perturbation_moves, batch_size=args.batch_size)
+
+    print(f"instances: {len(test_set)}  mean gap: {out['mean_gap']:.4f}%  "
+          f"median: {float(np.median(out['gaps'])):.4f}%  "
+          f"max: {float(out['gaps'].max()):.4f}%")
+
+    rows = ev.search_progress_records(test_set, out)
+    path = ev.write_run_dataframe(rows, args.run_dir)
+    print(f"search progress -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Model inference + GLS evaluation (reference: scripts/test.py).
+
+Pipeline per the reference (test.py:59-109), batched on TPU:
+  1. predict scaled regret for every edge, inverse-transform, clamp at 0
+     (test.py:72-83);
+  2. initial tour = nearest neighbor on 'regret_pred' (or 'weight' when
+     running without the model) (test.py:85-88);
+  3. guided local search under the wall-clock (or fixed-iteration) budget
+     (test.py:91-95);
+  4. gap = (best_cost / opt_cost - 1) * 100 (test.py:104) and a
+     search-progress DataFrame with cummin best_cost / gap / dt columns
+     (test.py:113-123).
+"""
+
+from __future__ import annotations
+
+import datetime
+import pathlib
+import time
+import uuid
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.graph import build_topology, edge_vector_to_matrix
+from .data.dataset import TSPDataset
+from .data.generate import coords_to_distance_matrix
+from .models import regret_gat as M
+from .search import batched
+
+
+def predict_regret(params, bn_state, cfg: M.RegretGNNConfig, dataset: TSPDataset,
+                   *, batch_size: int = 64) -> np.ndarray:
+    """Unscaled, non-negative per-edge regret predictions, (N, E)."""
+    n = dataset.n_nodes
+    apply = jax.jit(M.make_apply(cfg, n))
+    outs = []
+    for s in range(0, len(dataset), batch_size):
+        idx = np.arange(s, min(s + batch_size, len(dataset)))
+        batch = dataset.get_scaled_batch(idx)
+        y, _ = apply(params, bn_state, jnp.asarray(batch["features"]))
+        outs.append(np.asarray(y)[..., 0])
+    y_scaled = np.concatenate(outs, axis=0)
+    y = dataset.scalers["regret"].inverse_transform(y_scaled[..., None])[..., 0]
+    return np.maximum(y, 0.0)  # clamp, test.py:83
+
+
+def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
+             model_cfg: Optional[M.RegretGNNConfig] = None,
+             guides: List[str] = ("regret_pred",),
+             time_limit: Optional[float] = 10.0,
+             n_iters: Optional[int] = None,
+             perturbation_moves: int = 20,
+             batch_size: int = 64) -> dict:
+    """Evaluate GLS (optionally model-guided) over a dataset.
+
+    Either `time_limit` (reference wall-clock protocol, applied to the whole
+    batched run) or `n_iters` (deterministic fixed budget) must be set;
+    n_iters takes precedence when given.
+    """
+    guides = list(guides)
+    n = dataset.n_nodes
+    Ds = coords_to_distance_matrix(dataset.coords).astype(np.float32)
+
+    regret_mats = None
+    if "regret_pred" in guides:
+        assert params is not None and model_cfg is not None
+        preds = predict_regret(params, bn_state, model_cfg, dataset,
+                               batch_size=batch_size)
+        regret_mats = edge_vector_to_matrix(preds.astype(np.float32), n)
+        init_guide = regret_mats  # nearest_neighbor on regret_pred, test.py:85
+    else:
+        init_guide = Ds
+
+    init_tours = np.asarray(batched.nearest_neighbor_batch(jnp.asarray(init_guide)))
+    guide_stack = batched.make_guide_stack(Ds, guides, regret_mats)
+
+    if n_iters is not None:
+        result = batched.run_fixed(Ds, guide_stack, init_tours, n_iters=n_iters,
+                                   perturbation_moves=perturbation_moves)
+    else:
+        result = batched.run_wall_clock(Ds, guide_stack, init_tours,
+                                        time_limit_s=time_limit,
+                                        perturbation_moves=perturbation_moves)
+
+    opt = np.asarray(dataset.opt_cost, dtype=np.float64)
+    gaps = (result.best_costs / opt - 1.0) * 100.0
+    init_costs = Ds[np.arange(len(dataset))[:, None],
+                    init_tours[:, :-1], init_tours[:, 1:]].sum(-1)
+    return {
+        "gaps": gaps,
+        "mean_gap": float(gaps.mean()),
+        "best_costs": result.best_costs,
+        "best_tours": result.best_tours,
+        "init_costs": init_costs,
+        "opt_costs": opt,
+        "result": result,
+    }
+
+
+def search_progress_records(dataset: TSPDataset, out: dict,
+                            instance_names: Optional[List[str]] = None) -> list:
+    """Reference-format search-progress rows (test.py:97-102,113-117).
+
+    One row per traced accepted move: {instance, time, cost, opt_cost}; move
+    timestamps interpolate within their chunk's wall-clock window.
+    """
+    res: batched.BatchResult = out["result"]
+    names = instance_names or [f"instance_{i}" for i in range(len(dataset))]
+    rows = []
+    times = res.chunk_times
+    for b in range(len(dataset)):
+        n_tr = int(min(res.trace_n[b], res.trace_costs.shape[1]))
+        cum = res.chunk_moves[b]
+        for m in range(n_tr):
+            # which chunk did move m land in?
+            c = int(np.searchsorted(cum[1:], m + 1, side="left"))
+            c = min(c, len(times) - 2)
+            lo, hi = cum[c], cum[min(c + 1, len(cum) - 1)]
+            frac = (m + 1 - lo) / max(hi - lo, 1)
+            t = times[c] + frac * (times[min(c + 1, len(times) - 1)] - times[c])
+            rows.append({
+                "instance": names[b],
+                "time": t,
+                "cost": float(res.trace_costs[b, m]),
+                "opt_cost": float(out["opt_costs"][b]),
+            })
+    return rows
+
+
+def write_run_dataframe(rows: list, run_dir) -> pathlib.Path:
+    """Post-process rows into the reference's pickled DataFrame
+    (test.py:113-123): cummin best_cost, gap, dt per instance."""
+    import pandas as pd
+
+    run_dir = pathlib.Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    df = pd.DataFrame.from_records(rows)
+    if len(df):
+        df["best_cost"] = df.groupby("instance")["cost"].cummin()
+        df["gap"] = (df["best_cost"] / df["opt_cost"] - 1) * 100
+        df["dt"] = df["time"] - df.groupby("instance")["time"].transform("min")
+    timestamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
+    path = run_dir / f"{timestamp}_{uuid.uuid4().hex}.pkl"
+    df.to_pickle(path)
+    return path

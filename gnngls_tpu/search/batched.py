@@ -1,0 +1,129 @@
+"""Batched GLS drivers: fixed-budget and wall-clock-chunked evaluation.
+
+The reference evaluates instances serially, 10 s wall-clock each
+(scripts/test.py:59-109).  On TPU the whole test set runs as one vmapped
+batch; wall-clock control happens on the host by re-invoking a compiled chunk
+of outer GLS iterations until the deadline (`run_wall_clock`), which
+reproduces the reference protocol at batch scale.  `run_fixed` is the
+deterministic fixed-budget variant used for benchmarks and tests.
+
+Per-move cost traces accumulate on device; chunk boundaries are timestamped on
+the host so search-progress rows get wall-clock times like the reference's
+{time, cost} records (algorithms.py:127-130).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import construct, local_search as ls
+
+
+@partial(jax.jit, static_argnames=("trace_cap",))
+def batch_init(Ds, guide_stack, init_tours, trace_cap: int = 4096):
+    """vmapped gls_init.  Ds (B,n,n), guide_stack (B,G,n,n), tours (B,n+1)."""
+    return jax.vmap(lambda D, t: ls.gls_init(D, t, trace_cap=trace_cap))(Ds, init_tours)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "perturbation_moves"))
+def batch_chunk(states, Ds, guide_stack, n_iters: int, perturbation_moves: int):
+    """Advance every instance by n_iters outer GLS iterations."""
+    def one(state, D, guides):
+        def body(_, s):
+            return ls.gls_iteration(s, D, guides,
+                                    perturbation_moves=perturbation_moves)
+        return jax.lax.fori_loop(0, n_iters, body, state)
+
+    return jax.vmap(one)(states, Ds, guide_stack)
+
+
+class BatchResult(NamedTuple):
+    best_tours: np.ndarray  # (B, n+1)
+    best_costs: np.ndarray  # (B,)
+    trace_costs: np.ndarray  # (B, cap)
+    trace_n: np.ndarray  # (B,)
+    chunk_times: List[float]  # wall-clock at each chunk boundary
+    chunk_moves: np.ndarray  # (B, n_chunks) cumulative accepted moves per chunk
+
+
+def make_guide_stack(Ds, guides: List[str], regret_pred: Optional[np.ndarray]):
+    """Guide matrices by name: 'weight' -> D, 'regret_pred' -> predicted regret.
+
+    Mirrors test.py's guides argument (cycled per outer iteration,
+    algorithms.py:147)."""
+    mats = []
+    for g in guides:
+        if g == "weight":
+            mats.append(np.asarray(Ds))
+        elif g == "regret_pred":
+            if regret_pred is None:
+                raise ValueError("guide 'regret_pred' needs predictions")
+            mats.append(np.asarray(regret_pred))
+        else:
+            raise ValueError(f"unknown guide {g!r}")
+    return np.stack(mats, axis=1)  # (B, G, n, n)
+
+
+def run_fixed(Ds, guide_stack, init_tours, *, n_iters: int,
+              perturbation_moves: int = 20, trace_cap: int = 4096) -> BatchResult:
+    t0 = time.time()
+    states = batch_init(jnp.asarray(Ds), jnp.asarray(guide_stack),
+                        jnp.asarray(init_tours), trace_cap)
+    t1 = time.time()
+    moves = [np.asarray(states.trace.n)]
+    states = batch_chunk(states, jnp.asarray(Ds), jnp.asarray(guide_stack),
+                         n_iters, perturbation_moves)
+    jax.block_until_ready(states)
+    t2 = time.time()
+    moves.append(np.asarray(states.trace.n))
+    return BatchResult(
+        best_tours=np.asarray(states.best_tour),
+        best_costs=np.asarray(states.best_cost),
+        trace_costs=np.asarray(states.trace.costs),
+        trace_n=np.asarray(states.trace.n),
+        chunk_times=[t0, t1, t2],
+        chunk_moves=np.stack(moves, axis=1),
+    )
+
+
+def run_wall_clock(Ds, guide_stack, init_tours, *, time_limit_s: float,
+                   perturbation_moves: int = 20, chunk_iters: int = 1,
+                   trace_cap: int = 4096) -> BatchResult:
+    """Run chunks of outer iterations until the wall-clock deadline.
+
+    The deadline applies to the whole batch (all instances search
+    concurrently), the batched analog of the reference's per-instance
+    `time.time() < t_lim` loop (algorithms.py:146)."""
+    Ds = jnp.asarray(Ds)
+    guide_stack = jnp.asarray(guide_stack)
+    deadline = time.time() + time_limit_s
+    states = batch_init(Ds, guide_stack, jnp.asarray(init_tours), trace_cap)
+    jax.block_until_ready(states)
+    times = [time.time()]
+    moves = [np.asarray(states.trace.n)]
+    while time.time() < deadline:
+        states = batch_chunk(states, Ds, guide_stack, chunk_iters,
+                             perturbation_moves)
+        jax.block_until_ready(states)
+        times.append(time.time())
+        moves.append(np.asarray(states.trace.n))
+    return BatchResult(
+        best_tours=np.asarray(states.best_tour),
+        best_costs=np.asarray(states.best_cost),
+        trace_costs=np.asarray(states.trace.costs),
+        trace_n=np.asarray(states.trace.n),
+        chunk_times=times,
+        chunk_moves=np.stack(moves, axis=1),
+    )
+
+
+@jax.jit
+def nearest_neighbor_batch(W):
+    """vmapped nearest-neighbor init from guide matrices (B, n, n)."""
+    return jax.vmap(lambda w: construct.nearest_neighbor(w, 0))(W)
