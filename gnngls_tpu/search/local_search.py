@@ -164,11 +164,14 @@ def _perturbation(state: GLSState, D, guide, perturbation_moves: int,
         state, moves, it = s
         tour = state.tour
         # Utility of current tour edges: guide / (1 + penalty), first max wins.
-        eg = guide[tour[:-1], tour[1:]]
-        ep = state.penalties[tour[:-1], tour[1:]]
-        kk = jnp.argmax(eg / (1.0 + ep))
+        # (computed on the full (n, n) grid then read along the tour; 2-D index
+        # gathers are avoided throughout — see moves._tour_matrix)
+        util_tour = mv.pair_values(guide / (1.0 + state.penalties), tour)
+        kk = jnp.argmax(util_tour)
         u, v = tour[kk], tour[kk + 1]
-        penalties = state.penalties.at[u, v].add(1.0).at[v, u].add(1.0)
+        eu = jax.nn.one_hot(u, n, dtype=D.dtype)
+        ev = jax.nn.one_hot(v, n, dtype=D.dtype)
+        penalties = state.penalties + jnp.outer(eu, ev) + jnp.outer(ev, eu)
         Dg = D + state.k * penalties  # lazy fused guided matrix (:163-164)
 
         cost, trace = state.cost, state.trace

@@ -45,14 +45,25 @@ class Move(NamedTuple):
     found: jax.Array  # bool scalar
 
 
+def _tour_matrix(D: jax.Array, tour: jax.Array) -> jax.Array:
+    """M[p, q] = D[tour[p], tour[q]], shape (n+1, n+1).
+
+    TPU note: built as two chained single-axis takes.  A fused 2-D advanced
+    index ``D[tour[:, None], tour[None, :]]`` lowers to a scalar gather loop
+    on TPU (~300x slower, measured); per-axis takes lower to fast vector
+    gathers and extract values exactly (unlike a one-hot matmul, which would
+    round through bf16 on the MXU and break trajectory parity)."""
+    return jnp.take(jnp.take(D, tour, axis=0), tour, axis=1)
+
+
 def tour_cost(D: jax.Array, tour: jax.Array) -> jax.Array:
     """Closed-tour cost: sum of D over consecutive pairs."""
-    return D[tour[:-1], tour[1:]].sum()
+    return jnp.diagonal(_tour_matrix(D, tour), offset=1).sum()
 
 
-def _tour_matrix(D: jax.Array, tour: jax.Array) -> jax.Array:
-    """M[p, q] = D[tour[p], tour[q]], shape (n+1, n+1)."""
-    return D[tour[:, None], tour[None, :]]
+def pair_values(A: jax.Array, tour: jax.Array) -> jax.Array:
+    """A[tour[p], tour[p+1]] for consecutive tour pairs, shape (n,)."""
+    return jnp.diagonal(_tour_matrix(A, tour), offset=1)
 
 
 def _position_grids(nt: int):
@@ -93,16 +104,19 @@ def two_opt_o2a(tour: jax.Array, D: jax.Array, i: jax.Array) -> Move:
     """Best improving 2-opt move with one endpoint fixed at position i.
 
     operators.py:53-73 — j sweeps [1, n-1]; the delta helper symmetrizes
-    (i, j), so j on either side of i is considered.
+    (i, j), so j on either side of i is considered.  Because D (hence M) is
+    symmetric, delta[j] = M[i,j] + M[i-1,j-1] - c[i] - c[j] for either order,
+    so only two rows of M are touched (no 2-D index gathers).
     """
     nt = tour.shape[0]
     n = nt - 1
     M = _tour_matrix(D, tour)
     c = jnp.concatenate([jnp.zeros((1,), M.dtype), jnp.diagonal(M, offset=-1)])
     jv = jnp.arange(nt, dtype=jnp.int32)
-    lo = jnp.minimum(i, jv)
-    hi = jnp.maximum(i, jv)
-    delta = M[lo, hi] + M[jnp.maximum(lo - 1, 0), jnp.maximum(hi - 1, 0)] - c[lo] - c[hi]
+    row_i = jnp.take(M, i, axis=0)
+    row_im1 = jnp.take(M, jnp.maximum(i - 1, 0), axis=0)
+    row_im1_shift = jnp.concatenate([row_im1[:1], row_im1[:-1]])  # [j] -> M[i-1, j-1]
+    delta = row_i + row_im1_shift - c[i] - c
     valid = (jv >= 1) & (jv <= n - 1) & (jnp.abs(i - jv) >= 2) & (delta < -EPS_CLOSE)
     score = jnp.where(valid, delta, _INF)
     j = jnp.argmin(score)
@@ -142,11 +156,20 @@ def _relocate_delta_matrix(M: jax.Array) -> jax.Array:
            + jnp.concatenate([jnp.zeros((1,), M.dtype), d2, jnp.zeros((1,), M.dtype)])[:nt])
     # rem[i] = -M[i-1,i] - M[i,i+1] + M[i-1,i+1], valid for 1 <= i <= n-1
 
+    # Insertion terms re-expressed as shifts of M (2-D index-grid gathers are
+    # pathologically slow on TPU; see _tour_matrix).  With T = M^T:
+    #   i<j: -d1[j]   + M[j,i]   + M[i,j+1]  = -pad1[j]   + T[i,j]   + Mr[i,j]
+    #   i>j: -d1[j-1] + M[j-1,i] + M[i,j]    = -pad1[j-1] + Tl[i,j]  + M[i,j]
+    # where Mr[i,j] = M[i,j+1] (shift left, clamp last) and
+    #       Tl[i,j] = T[i,j-1] (shift right, clamp first).
     ii, jj = _position_grids(nt)
-    jp1 = jnp.minimum(jj + 1, nt - 1)
-    jm1 = jnp.maximum(jj - 1, 0)
-    ins_lt = -pad1[jj] + M[jj, ii] + M[ii, jp1]
-    ins_gt = -pad1[jm1] + M[jm1, ii] + M[ii, jj]
+    T = M.T
+    Mr = jnp.concatenate([M[:, 1:], M[:, -1:]], axis=1)
+    Tl = jnp.concatenate([T[:, :1], T[:, :-1]], axis=1)
+    pad1_lt = pad1[None, :]
+    pad1_gt = jnp.concatenate([pad1[:1], pad1[:-1]])[None, :]
+    ins_lt = -pad1_lt + T + Mr
+    ins_gt = -pad1_gt + Tl + M
     ins = jnp.where(ii < jj, ins_lt, ins_gt)
     return rem[:, None] + ins
 

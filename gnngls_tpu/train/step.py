@@ -49,9 +49,12 @@ def bce_with_logits_loss(pred, target, pos_weight):
     return jnp.mean(losses)
 
 
-def make_train_step(cfg: M.RegretGNNConfig, n: int, optimizer, *,
-                    target: str = "regret", pos_weight: float = 1.0):
-    """Returns jitted fns (train_step, eval_step) over (B, E, .) batches."""
+def make_train_fns(cfg: M.RegretGNNConfig, n: int, optimizer, *,
+                   target: str = "regret", pos_weight: float = 1.0):
+    """Raw (un-jitted) train/eval step functions over (B, E, .) batches.
+
+    Callers jit these — plainly (make_train_step) or with device-mesh
+    shardings (parallel.train_dp)."""
     topo = build_topology(n)
 
     def loss_fn(params, bn_state, x, y, train: bool):
@@ -63,7 +66,6 @@ def make_train_step(cfg: M.RegretGNNConfig, n: int, optimizer, *,
             loss = bce_with_logits_loss(pred, y, pos_weight)
         return loss, new_bn
 
-    @jax.jit
     def train_step(state: TrainState, x, y):
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.bn_state, x, y, True)
@@ -71,12 +73,19 @@ def make_train_step(cfg: M.RegretGNNConfig, n: int, optimizer, *,
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_bn, new_opt), loss
 
-    @jax.jit
     def eval_step(state: TrainState, x, y):
         loss, _ = loss_fn(state.params, state.bn_state, x, y, False)
         return loss
 
     return train_step, eval_step
+
+
+def make_train_step(cfg: M.RegretGNNConfig, n: int, optimizer, *,
+                    target: str = "regret", pos_weight: float = 1.0):
+    """Jitted single-device (train_step, eval_step)."""
+    train_fn, eval_fn = make_train_fns(cfg, n, optimizer, target=target,
+                                       pos_weight=pos_weight)
+    return jax.jit(train_fn), jax.jit(eval_fn)
 
 
 def set_lr(opt_state, lr: float):
