@@ -43,8 +43,12 @@ def compute_regret(data: dict, *, method: str = "auto", n_iters: int = 10,
     in_sol = np.asarray(data["in_solution"], dtype=bool)
 
     if method == "auto":
+        from . import native_oracle
+
         if solvers.has_lkh():
             method = "lkh"
+        elif native_oracle.available():
+            method = "native"
         elif n <= solvers.HELD_KARP_MAX_N:
             method = "held_karp"
         else:
@@ -52,6 +56,17 @@ def compute_regret(data: dict, *, method: str = "auto", n_iters: int = 10,
 
     regret = np.zeros((N, E), dtype=np.float32)
     Ds = coords_to_distance_matrix(coords).astype(np.float64)
+
+    if method == "native":
+        # C++ oracle, threaded across instances (GIL released in C calls)
+        from . import native_oracle
+
+        costs_all = native_oracle.regret_costs_batch(Ds)
+        r = (costs_all - opt_cost[:, None]) / opt_cost[:, None]
+        r[in_sol] = 0.0
+        regret = np.maximum(r, 0.0).astype(np.float32)
+        data["regret"] = regret
+        return regret
 
     for i in range(N):
         D = Ds[i]
