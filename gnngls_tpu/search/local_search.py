@@ -193,7 +193,7 @@ def gls_iteration(state: GLSState, D, guide_stack, *, perturbation_moves: int,
     cycles per outer iteration (KGLS-style, :147).
     """
     if max_pert_iters <= 0:
-        max_pert_iters = 10 * perturbation_moves
+        max_pert_iters = 3 * perturbation_moves
     guide = guide_stack[state.iter_i % guide_stack.shape[0]]
     state = _perturbation(state, D, guide, perturbation_moves, max_pert_iters)
     res = local_search(state.tour, state.cost, D, state.trace, max_ls_iters)

@@ -157,7 +157,7 @@ def o_guided_local_search(D, guide, init_tour, n_iters, perturbation_moves=20):
     for _ in range(n_iters):
         moves = 0
         guard = 0
-        while moves < perturbation_moves and guard < 10 * perturbation_moves:
+        while moves < perturbation_moves and guard < 3 * perturbation_moves:
             guard += 1
             # max-utility current-tour edge; first strict max wins
             max_util, max_e = None, None
