@@ -32,10 +32,13 @@ from .search import batched
 
 
 def predict_regret(params, bn_state, cfg: M.RegretGNNConfig, dataset: TSPDataset,
-                   *, batch_size: int = 64) -> np.ndarray:
+                   *, batch_size: int = 64, gat_impl: str = "auto") -> np.ndarray:
     """Unscaled, non-negative per-edge regret predictions, (N, E)."""
     n = dataset.n_nodes
-    apply = jax.jit(M.make_apply(cfg, n))
+    if gat_impl == "auto":
+        # pallas kernel: f32-exact aggregation on TPU (checkpoint parity)
+        gat_impl = "pallas" if jax.default_backend() == "tpu" else "fast"
+    apply = jax.jit(M.make_apply(cfg, n, gat_impl=gat_impl))
     outs = []
     for s in range(0, len(dataset), batch_size):
         idx = np.arange(s, min(s + batch_size, len(dataset)))

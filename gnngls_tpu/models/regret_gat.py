@@ -108,13 +108,24 @@ def forward(
     *,
     n_heads: int,
     train: bool = False,
-    naive_gat: bool = False,
+    gat_impl: str = "fast",
 ) -> Tuple[jax.Array, RegretGNNState]:
     """x: (..., E, in_dim) -> (..., E, out_dim); also returns updated BN state.
 
     Matches gnngls/models.py:65-70 + AttentionLayer.forward (models.py:38-40).
+
+    gat_impl: 'fast' (XLA einsum; bf16 aggregation passes on TPU), 'naive'
+    (gather oracle), or 'pallas' (fused kernel, f32-exact on TPU — the
+    inference path for checkpoint parity on hardware).
     """
-    conv = gat_conv_naive if naive_gat else gat_conv
+    if gat_impl == "pallas":
+        from ..ops.pallas_gat import gat_conv_pallas
+
+        conv = gat_conv_pallas
+    elif gat_impl == "naive":
+        conv = gat_conv_naive
+    else:
+        conv = gat_conv
     h = linear(params.embed, x)
     new_states = []
     for lp, ls in zip(params.layers, state.layers):
@@ -127,14 +138,15 @@ def forward(
     return y, RegretGNNState(new_states)
 
 
-def make_apply(cfg: RegretGNNConfig, n: int, *, train: bool = False, naive_gat: bool = False):
+def make_apply(cfg: RegretGNNConfig, n: int, *, train: bool = False,
+               gat_impl: str = "fast"):
     """Close over a static topology; returns fn(params, state, x) -> (y, state)."""
     topo = build_topology(n)
 
     def apply(params, state, x):
         return forward(
             params, state, topo, x,
-            n_heads=cfg.n_heads, train=train, naive_gat=naive_gat,
+            n_heads=cfg.n_heads, train=train, gat_impl=gat_impl,
         )
 
     return apply

@@ -72,14 +72,23 @@ def init_gat_params(key, c_in: int, n_heads: int, head_dim: int, dtype=jnp.float
     )
 
 
+# Full-f32 matmuls everywhere in the model: TPU einsums otherwise drop to
+# bf16 passes silently, which breaks allclose parity with the reference's
+# f32 torch math (observed: ~1e-3 noise, amplified to ~0.4 on small-denominator
+# edges).  The model is 1.2M params — exactness is worth the extra MXU passes;
+# the Pallas kernel (ops/pallas_gat.py) is the throughput path.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _project(params: GATParams, x: jax.Array, n_heads: int):
     """x: (..., E, C_in) -> h: (..., E, H, F), el/er: (..., E, H)."""
     hf = params.fc_w.shape[1]
     head_dim = hf // n_heads
-    h = jnp.einsum("...ec,cd->...ed", x, params.fc_w, preferred_element_type=jnp.float32)
+    h = jnp.einsum("...ec,cd->...ed", x, params.fc_w,
+                   preferred_element_type=jnp.float32, precision=PRECISION)
     h = h.reshape(h.shape[:-1] + (n_heads, head_dim))
-    el = jnp.einsum("...ehf,hf->...eh", h, params.attn_l)
-    er = jnp.einsum("...ehf,hf->...eh", h, params.attn_r)
+    el = jnp.einsum("...ehf,hf->...eh", h, params.attn_l, precision=PRECISION)
+    er = jnp.einsum("...ehf,hf->...eh", h, params.attn_r, precision=PRECISION)
     return h, el, er
 
 
@@ -132,6 +141,10 @@ def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: 
 
     # Partial sums per group: denominator and numerator (batched dense matmul).
     z_g = p.sum(axis=-2)  # (..., n, n-1, H)
+    # NOTE: default precision — on TPU this large einsum runs bf16 passes
+    # (HIGHEST here explodes compile/runtime).  For f32-exact aggregation on
+    # TPU use the Pallas kernel (ops/pallas_gat.py, pure-VPU f32) or the
+    # naive path; on CPU this einsum is exact f32 (parity tests run there).
     num_g = jnp.einsum("...uijh,...ujhf->...uihf", p, h_c,
                        preferred_element_type=jnp.float32)  # (..., n, n-1, H, F)
 

@@ -25,5 +25,8 @@ def init_linear(key, c_in: int, c_out: int, dtype=jnp.float32) -> LinearParams:
 
 
 def linear(params: LinearParams, x: jax.Array) -> jax.Array:
+    # HIGHEST precision: TPU f32 einsums otherwise round through bf16, which
+    # breaks reference-checkpoint parity (see ops/gat.py PRECISION note).
     return jnp.einsum("...c,cd->...d", x, params.w,
-                      preferred_element_type=jnp.float32) + params.b
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) + params.b

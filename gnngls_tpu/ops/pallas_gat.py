@@ -1,0 +1,117 @@
+"""Pallas fused GAT kernel: per-city-group scores + softmax + aggregation.
+
+The XLA city-group path (ops/gat.py) materializes the (n, n-1, n-1, H) score
+tensor in HBM (31 MB/layer at tsp100, 4 GB at tsp500) — the op is HBM-bound.
+This kernel fuses score -> leaky -> exp -> weighted-aggregate per
+(batch, city) grid cell entirely in VMEM, flash-attention-style: each group
+emits its own row maxima plus max-offset partial sums, and the two groups of
+every edge are merged outside with standard rescaling
+
+    m = max(m_u, m_v);  Z = Z_u e^{m_u-m} + Z_v e^{m_v-m};  (same numerators)
+
+which is mathematically identical to the one-pass softmax (tests assert
+allclose vs the oracle paths).
+
+Mosaic layout strategy ("repeat-to-lanes"): per-head scalars (el, er, maxima,
+denominators) are replicated across each head's F feature lanes so every
+in-kernel tensor has the full H*F = lane-aligned minor dimension — zero
+in-kernel slicing, pure 2-D/3-D VPU ops:
+
+    p[i, j, h*F+f] = exp(leaky(el[j,h] + er[i,h]) - m[i,h])   (f-independent)
+    num[i, :]      = sum_j p[i, j, :] * hc[j, :]
+    z , m          = row-sum / row-max of p (naturally lane-replicated)
+
+The redundant x F score arithmetic is free next to the memory traffic saved.
+VMEM footprint is the (g, g, HF) block: fine through n ~ 128; larger n needs
+a source-chunked variant (future work, noted in SURVEY plan).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..core.graph import LineGraphTopology
+from .gat import GATParams, LEAKY_SLOPE, _project
+
+
+def _group_kernel(el_ref, er_ref, hc_ref, m_ref, z_ref, num_ref):
+    """One (batch, city) cell.  All refs (g, HF); scalars lane-replicated."""
+    el = el_ref[0, 0]  # (g, HF) source scores, head-replicated
+    er = er_ref[0, 0]  # (g, HF) target scores
+    hc = hc_ref[0, 0]  # (g, HF) member features
+
+    s = er[:, None, :] + el[None, :, :]  # (g_tgt, g_src, HF)
+    s = jnp.where(s > 0, s, LEAKY_SLOPE * s)
+    m = jnp.max(s, axis=1)  # (g, HF)
+    p = jnp.exp(s - m[:, None, :])
+    m_ref[0, 0] = m
+    z_ref[0, 0] = jnp.sum(p, axis=1)
+    num_ref[0, 0] = jnp.sum(p * hc[None, :, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _group_partials(el_rep, er_rep, hc, interpret: bool = False):
+    """(B, n, g, HF) x3 -> lane-replicated (m, z) and num, all (B, n, g, HF)."""
+    B, n, g, HF = el_rep.shape
+    spec = pl.BlockSpec((1, 1, g, HF), lambda b, u: (b, u, 0, 0))
+    return pl.pallas_call(
+        _group_kernel,
+        grid=(B, n),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((B, n, g, HF), jnp.float32)] * 3,
+        interpret=interpret,
+    )(el_rep, er_rep, hc)
+
+
+def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
+                    n_heads: int, *, interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for ops.gat.gat_conv via the fused kernel.
+
+    x: (..., E, C_in) -> (..., E, H*F).
+    """
+    n = topo.n
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    h, el, er = _project(params, x, n_heads)  # (B,E,H,F), (B,E,H)
+    B, E, H, F = h.shape
+    HF = H * F
+
+    city = jnp.asarray(topo.city_edges)
+    slot_u = jnp.asarray(topo.slot_u)
+    slot_v = jnp.asarray(topo.slot_v)
+
+    def rep(a):  # (B, E, H) -> (B, E, HF) head-replicated across F lanes
+        return jnp.repeat(a, F, axis=-1)
+
+    el_rep = rep(el)[:, city]  # (B, n, g, HF)
+    er_rep = rep(er)[:, city]
+    hc = h.reshape(B, E, HF)[:, city]
+
+    m_g, z_g, num_g = _group_partials(el_rep, er_rep, hc, interpret)
+
+    ng = n * (n - 1)
+    m_flat = m_g.reshape(B, ng, HF)
+    z_flat = z_g.reshape(B, ng, HF)
+    num_flat = num_g.reshape(B, ng, HF)
+
+    m_u, m_v = m_flat[:, slot_u], m_flat[:, slot_v]  # (B, E, HF)
+    m = jnp.maximum(m_u, m_v)
+    su = jnp.exp(m_u - m)
+    sv = jnp.exp(m_v - m)
+
+    z = z_flat[:, slot_u] * su + z_flat[:, slot_v] * sv
+    num = num_flat[:, slot_u] * su + num_flat[:, slot_v] * sv
+
+    # remove the double-counted self contribution (no self-loops in the
+    # reference line graph, gnngls/datasets.py:56)
+    s_self = jnp.exp(rep(jax.nn.leaky_relu(el + er, LEAKY_SLOPE)) - m)
+    z = z - 2.0 * s_self
+    num = num - 2.0 * s_self * h.reshape(B, E, HF)
+    out = num / z
+    return out[0] if squeeze else out
