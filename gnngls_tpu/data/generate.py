@@ -41,10 +41,15 @@ def generate_instances(n_samples: int, n_nodes: int, seed: int = 0,
     coords = rng.random((n_samples, n_nodes, 2)).astype(np.float32)
     D = coords_to_distance_matrix(coords)
 
+    from . import native_oracle
+
+    native_hk_max = 22  # C++ DP stays tractable a bit past the numpy limit
+
     if solver is None:
         if solvers.has_concorde():
             solver = "concorde"
-        elif n_nodes <= solvers.HELD_KARP_MAX_N:
+        elif n_nodes <= solvers.HELD_KARP_MAX_N or (
+                n_nodes <= native_hk_max and native_oracle.available()):
             solver = "held_karp"
         else:
             solver = "gls"
@@ -54,7 +59,14 @@ def generate_instances(n_samples: int, n_nodes: int, seed: int = 0,
         costs = np.array([D[i][tours[i][:-1], tours[i][1:]].sum()
                           for i in range(n_samples)], dtype=np.float64)
     elif solver == "held_karp":
-        pairs = [solvers.held_karp(Di) for Di in D]
+        if native_oracle.available():
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor() as ex:
+                pairs = list(ex.map(lambda Di: native_oracle.held_karp(
+                    Di.astype(np.float64)), D))
+        else:
+            pairs = [solvers.held_karp(Di) for Di in D]
         tours = np.stack([np.asarray(t, dtype=np.int32) for t, _ in pairs])
         costs = np.array([c for _, c in pairs], dtype=np.float64)
     elif solver == "gls":
