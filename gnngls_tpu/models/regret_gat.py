@@ -124,6 +124,10 @@ def forward(
         conv = gat_conv_pallas
     elif gat_impl == "naive":
         conv = gat_conv_naive
+    elif gat_impl == "chunked":  # large-n memory-bounded path (tsp500+)
+        from ..ops.gat import gat_conv_chunked
+
+        conv = gat_conv_chunked
     else:
         conv = gat_conv
     h = linear(params.embed, x)

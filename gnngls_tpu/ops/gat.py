@@ -108,6 +108,65 @@ def gat_conv_naive(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_h
     return out.reshape(out.shape[:-2] + (-1,))
 
 
+def gat_conv_chunked(params: GATParams, topo: LineGraphTopology, x: jax.Array,
+                     n_heads: int, city_chunk: int = 16) -> jax.Array:
+    """Memory-bounded city-group path for large n (tsp500/tsp1000 class).
+
+    The plain path materializes the (n, n-1, n-1, H) score tensor (~4 GB at
+    n=500); here cities are processed in chunks of `city_chunk` under
+    lax.map, each chunk emitting flash-style group partials (own max,
+    max-offset sums), merged per edge afterwards.  Peak score memory is
+    city_chunk/n of the full tensor.  Requires n % city_chunk == 0.
+    """
+    n = topo.n
+    if n % city_chunk != 0:
+        raise ValueError(f"n={n} must be divisible by city_chunk={city_chunk}")
+    h, el, er = _project(params, x, n_heads)  # (..., E, H, F), (..., E, H)
+    H = n_heads
+    F = h.shape[-1]
+
+    city = jnp.asarray(topo.city_edges).reshape(n // city_chunk, city_chunk, topo.n - 1)
+    slot_u = jnp.asarray(topo.slot_u)
+    slot_v = jnp.asarray(topo.slot_v)
+
+    def chunk_partials(ce):  # ce: (chunk, n-1)
+        el_c = el[..., ce, :]  # (..., chunk, n-1, H)
+        er_c = er[..., ce, :]
+        h_c = h[..., ce, :, :]
+        s = jax.nn.leaky_relu(el_c[..., :, None, :, :] + er_c[..., :, :, None, :],
+                              LEAKY_SLOPE)
+        m = s.max(axis=-2)  # (..., chunk, n-1, H) per-group max
+        p = jnp.exp(s - m[..., :, None, :])
+        z = p.sum(axis=-2)
+        num = jnp.einsum("...uijh,...ujhf->...uihf", p, h_c,
+                         preferred_element_type=jnp.float32)
+        return m, z, num
+
+    m_g, z_g, num_g = jax.lax.map(chunk_partials, city)
+
+    def flat(a, n_tail):
+        # (n_chunks, ..., chunk, n-1, *tail) -> (..., n*(n-1), *tail)
+        a = jnp.moveaxis(a, 0, -3 - n_tail)
+        return a.reshape(a.shape[:-3 - n_tail] + (n * (n - 1),) + a.shape[a.ndim - n_tail:])
+
+    m_flat = flat(m_g, 1)
+    z_flat = flat(z_g, 1)
+    num_flat = flat(num_g, 2)
+
+    m_u, m_v = m_flat[..., slot_u, :], m_flat[..., slot_v, :]
+    m = jnp.maximum(m_u, m_v)
+    su, sv = jnp.exp(m_u - m), jnp.exp(m_v - m)
+    z = z_flat[..., slot_u, :] * su + z_flat[..., slot_v, :] * sv
+    num = (num_flat[..., slot_u, :, :] * su[..., None]
+           + num_flat[..., slot_v, :, :] * sv[..., None])
+
+    s_self = jnp.exp(jax.nn.leaky_relu(el + er, LEAKY_SLOPE) - m)
+    z = z - 2.0 * s_self
+    num = num - 2.0 * s_self[..., None] * h
+    out = num / z[..., None]
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
 def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: int) -> jax.Array:
     """City-group batched-dense implementation (the TPU fast path).
 

@@ -131,3 +131,18 @@ def test_batch_norm_matches_torch():
     want3 = tbn(torch.tensor(x.reshape(-1, 16))).detach().numpy().reshape(x.shape)
     got3, _ = batch_norm(params, state, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got3), want3, rtol=1e-4, atol=1e-5)
+
+
+def test_gat_chunked_matches_fast():
+    from gnngls_tpu.ops.gat import gat_conv_chunked
+
+    n, n_heads, head_dim = 16, 4, 8
+    topo = build_topology(n)
+    c = n_heads * head_dim
+    params = gat_mod.init_gat_params(jax.random.PRNGKey(5), c, n_heads, head_dim)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, topo.n_edges, c))
+    want = gat_conv(params, topo, x, n_heads)
+    got = gat_conv_chunked(params, topo, x, n_heads, city_chunk=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-4)
+    with pytest.raises(ValueError):
+        gat_conv_chunked(params, topo, x, n_heads, city_chunk=5)
