@@ -135,20 +135,19 @@ def guided_local_search(G, init_tour, init_cost, t_lim, weight="weight",
 
     from .search import batched
 
-    del first_improvement  # best-improvement only (the reference default)
     D = _weight_matrix(G, weight).astype(np.float32)
     guide_mats = np.stack(
         [_weight_matrix(G, g).astype(np.float32) for g in guides])[None]
     init = np.asarray(init_tour, dtype=np.int32)[None]
 
     states = batched.batch_init(jnp.asarray(D)[None], jnp.asarray(guide_mats),
-                                jnp.asarray(init), 4096)
+                                jnp.asarray(init), 4096, first_improvement)
     progress = []
     prev_n = 0
     while _time.time() < t_lim:
         states = batched.batch_chunk(states, jnp.asarray(D)[None],
                                      jnp.asarray(guide_mats), 1,
-                                     perturbation_moves)
+                                     perturbation_moves, first_improvement)
         n_tr = int(np.asarray(states.trace.n)[0])
         now = _time.time()
         costs = np.asarray(states.trace.costs)[0]

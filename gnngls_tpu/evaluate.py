@@ -56,6 +56,7 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
              time_limit: Optional[float] = 10.0,
              n_iters: Optional[int] = None,
              perturbation_moves: int = 20,
+             first_improvement: bool = False,
              batch_size: int = 64) -> dict:
     """Evaluate GLS (optionally model-guided) over a dataset.
 
@@ -82,11 +83,13 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
 
     if n_iters is not None:
         result = batched.run_fixed(Ds, guide_stack, init_tours, n_iters=n_iters,
-                                   perturbation_moves=perturbation_moves)
+                                   perturbation_moves=perturbation_moves,
+                                   first_improvement=first_improvement)
     else:
         result = batched.run_wall_clock(Ds, guide_stack, init_tours,
                                         time_limit_s=time_limit,
-                                        perturbation_moves=perturbation_moves)
+                                        perturbation_moves=perturbation_moves,
+                                        first_improvement=first_improvement)
 
     opt = np.asarray(dataset.opt_cost, dtype=np.float64)
     gaps = (result.best_costs / opt - 1.0) * 100.0

@@ -25,19 +25,25 @@ import numpy as np
 from . import construct, local_search as ls
 
 
-@partial(jax.jit, static_argnames=("trace_cap",))
-def batch_init(Ds, guide_stack, init_tours, trace_cap: int = 4096):
+@partial(jax.jit, static_argnames=("trace_cap", "first_improvement"))
+def batch_init(Ds, guide_stack, init_tours, trace_cap: int = 4096,
+               first_improvement: bool = False):
     """vmapped gls_init.  Ds (B,n,n), guide_stack (B,G,n,n), tours (B,n+1)."""
-    return jax.vmap(lambda D, t: ls.gls_init(D, t, trace_cap=trace_cap))(Ds, init_tours)
+    return jax.vmap(lambda D, t: ls.gls_init(
+        D, t, trace_cap=trace_cap,
+        first_improvement=first_improvement))(Ds, init_tours)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "perturbation_moves"))
-def batch_chunk(states, Ds, guide_stack, n_iters: int, perturbation_moves: int):
+@partial(jax.jit, static_argnames=("n_iters", "perturbation_moves",
+                                   "first_improvement"))
+def batch_chunk(states, Ds, guide_stack, n_iters: int, perturbation_moves: int,
+                first_improvement: bool = False):
     """Advance every instance by n_iters outer GLS iterations."""
     def one(state, D, guides):
         def body(_, s):
             return ls.gls_iteration(s, D, guides,
-                                    perturbation_moves=perturbation_moves)
+                                    perturbation_moves=perturbation_moves,
+                                    first_improvement=first_improvement)
         return jax.lax.fori_loop(0, n_iters, body, state)
 
     return jax.vmap(one)(states, Ds, guide_stack)
@@ -71,14 +77,15 @@ def make_guide_stack(Ds, guides: List[str], regret_pred: Optional[np.ndarray]):
 
 
 def run_fixed(Ds, guide_stack, init_tours, *, n_iters: int,
-              perturbation_moves: int = 20, trace_cap: int = 4096) -> BatchResult:
+              perturbation_moves: int = 20, trace_cap: int = 4096,
+              first_improvement: bool = False) -> BatchResult:
     t0 = time.time()
     states = batch_init(jnp.asarray(Ds), jnp.asarray(guide_stack),
-                        jnp.asarray(init_tours), trace_cap)
+                        jnp.asarray(init_tours), trace_cap, first_improvement)
     t1 = time.time()
     moves = [np.asarray(states.trace.n)]
     states = batch_chunk(states, jnp.asarray(Ds), jnp.asarray(guide_stack),
-                         n_iters, perturbation_moves)
+                         n_iters, perturbation_moves, first_improvement)
     jax.block_until_ready(states)
     t2 = time.time()
     moves.append(np.asarray(states.trace.n))
@@ -94,7 +101,8 @@ def run_fixed(Ds, guide_stack, init_tours, *, n_iters: int,
 
 def run_wall_clock(Ds, guide_stack, init_tours, *, time_limit_s: float,
                    perturbation_moves: int = 20, chunk_iters: int = 1,
-                   trace_cap: int = 4096) -> BatchResult:
+                   trace_cap: int = 4096,
+                   first_improvement: bool = False) -> BatchResult:
     """Run chunks of outer iterations until the wall-clock deadline.
 
     The deadline applies to the whole batch (all instances search
@@ -103,13 +111,14 @@ def run_wall_clock(Ds, guide_stack, init_tours, *, time_limit_s: float,
     Ds = jnp.asarray(Ds)
     guide_stack = jnp.asarray(guide_stack)
     deadline = time.time() + time_limit_s
-    states = batch_init(Ds, guide_stack, jnp.asarray(init_tours), trace_cap)
+    states = batch_init(Ds, guide_stack, jnp.asarray(init_tours), trace_cap,
+                        first_improvement)
     jax.block_until_ready(states)
     times = [time.time()]
     moves = [np.asarray(states.trace.n)]
     while time.time() < deadline:
         states = batch_chunk(states, Ds, guide_stack, chunk_iters,
-                             perturbation_moves)
+                             perturbation_moves, first_improvement)
         jax.block_until_ready(states)
         times.append(time.time())
         moves.append(np.asarray(states.trace.n))

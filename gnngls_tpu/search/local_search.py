@@ -57,7 +57,8 @@ class LSResult(NamedTuple):
     trace: Trace
 
 
-def local_search(tour, cost, D, trace: Trace, max_iters: int = 0) -> LSResult:
+def local_search(tour, cost, D, trace: Trace, max_iters: int = 0,
+                 first_improvement: bool = False) -> LSResult:
     """Alternate best 2-opt and best relocate until no improvement.
 
     Matches gnngls/algorithms.py:111-132: each pass applies at most one 2-opt
@@ -74,11 +75,11 @@ def local_search(tour, cost, D, trace: Trace, max_iters: int = 0) -> LSResult:
 
     def body(s):
         tour, cost, trace, _, it = s
-        m1 = mv.two_opt_a2a(tour, D)
+        m1 = mv.two_opt_a2a(tour, D, first_improvement)
         tour = jnp.where(m1.found, mv.apply_two_opt(tour, m1.i, m1.j), tour)
         cost = cost + m1.delta
         trace = _record(trace, cost, m1.found)
-        m2 = mv.relocate_a2a(tour, D)
+        m2 = mv.relocate_a2a(tour, D, first_improvement)
         tour = jnp.where(m2.found, mv.apply_relocate(tour, m2.i, m2.j), tour)
         cost = cost + m2.delta
         trace = _record(trace, cost, m2.found)
@@ -103,7 +104,8 @@ class GLSState(NamedTuple):
 
 
 def gls_init(D, init_tour, *, trace_cap: int = 1024,
-             max_ls_iters: int = 0, k=None) -> GLSState:
+             max_ls_iters: int = 0, k=None,
+             first_improvement: bool = False) -> GLSState:
     """Initial full local search on true weights.  algorithms.py:137-143.
 
     `k` overrides the penalty scale (default 0.1 * init_cost / n); used by the
@@ -114,7 +116,8 @@ def gls_init(D, init_tour, *, trace_cap: int = 1024,
     init_cost = mv.tour_cost(D, init_tour)
     if k is None:
         k = 0.1 * init_cost / n
-    res = local_search(init_tour, init_cost, D, make_trace(trace_cap), max_ls_iters)
+    res = local_search(init_tour, init_cost, D, make_trace(trace_cap),
+                       max_ls_iters, first_improvement)
     return GLSState(
         tour=res.tour, cost=res.cost,
         best_tour=res.tour, best_cost=res.cost,
@@ -124,7 +127,8 @@ def gls_init(D, init_tour, *, trace_cap: int = 1024,
 
 
 def _perturbation(state: GLSState, D, guide, perturbation_moves: int,
-                  max_pert_iters: int) -> GLSState:
+                  max_pert_iters: int,
+                  first_improvement: bool = False) -> GLSState:
     """Penalize max-utility tour edges and apply targeted o2a moves.
 
     Matches algorithms.py:150-185: pick the current-tour edge maximizing
@@ -145,14 +149,14 @@ def _perturbation(state: GLSState, D, guide, perturbation_moves: int,
         pos = jnp.argmax(tour == node).astype(jnp.int32)  # first occurrence (index())
         active = node != 0  # depot endpoints are skipped (algorithms.py:168)
 
-        m1 = mv.two_opt_o2a(tour, Dg, pos)
+        m1 = mv.two_opt_o2a(tour, Dg, pos, first_improvement)
         acc1 = active & m1.found
         tour = jnp.where(acc1, mv.apply_two_opt(tour, m1.i, m1.j), tour)
         cost = jnp.where(acc1, mv.tour_cost(D, tour), cost)  # true weights, :176
         trace = _record(trace, cost, acc1)
         moves = moves + acc1.astype(jnp.int32)
 
-        m2 = mv.relocate_o2a(tour, Dg, pos)
+        m2 = mv.relocate_o2a(tour, Dg, pos, first_improvement)
         acc2 = active & m2.found
         tour = jnp.where(acc2, mv.apply_relocate(tour, m2.i, m2.j), tour)
         cost = jnp.where(acc2, mv.tour_cost(D, tour), cost)
@@ -186,7 +190,8 @@ def _perturbation(state: GLSState, D, guide, perturbation_moves: int,
 
 
 def gls_iteration(state: GLSState, D, guide_stack, *, perturbation_moves: int,
-                  max_pert_iters: int = 0, max_ls_iters: int = 0) -> GLSState:
+                  max_pert_iters: int = 0, max_ls_iters: int = 0,
+                  first_improvement: bool = False) -> GLSState:
     """One outer GLS iteration: perturb (guided), re-optimize (true), best-update.
 
     algorithms.py:146-193.  `guide_stack` is (G, n, n); the active guide
@@ -195,8 +200,10 @@ def gls_iteration(state: GLSState, D, guide_stack, *, perturbation_moves: int,
     if max_pert_iters <= 0:
         max_pert_iters = 3 * perturbation_moves
     guide = guide_stack[state.iter_i % guide_stack.shape[0]]
-    state = _perturbation(state, D, guide, perturbation_moves, max_pert_iters)
-    res = local_search(state.tour, state.cost, D, state.trace, max_ls_iters)
+    state = _perturbation(state, D, guide, perturbation_moves, max_pert_iters,
+                          first_improvement)
+    res = local_search(state.tour, state.cost, D, state.trace, max_ls_iters,
+                       first_improvement)
     better = res.cost < state.best_cost
     return state._replace(
         tour=res.tour, cost=res.cost, trace=res.trace,
@@ -206,14 +213,19 @@ def gls_iteration(state: GLSState, D, guide_stack, *, perturbation_moves: int,
     )
 
 
-@partial(jax.jit, static_argnames=("n_iters", "perturbation_moves", "trace_cap"))
+@partial(jax.jit, static_argnames=("n_iters", "perturbation_moves", "trace_cap",
+                                   "first_improvement"))
 def guided_local_search(D, guide_stack, init_tour, *, n_iters: int,
                         perturbation_moves: int = 20,
-                        trace_cap: int = 1024, k=None) -> GLSState:
+                        trace_cap: int = 1024, k=None,
+                        first_improvement: bool = False) -> GLSState:
     """Fixed-budget GLS on a single instance (jit; vmap for batches)."""
-    state = gls_init(D, init_tour, trace_cap=trace_cap, k=k)
+    state = gls_init(D, init_tour, trace_cap=trace_cap, k=k,
+                     first_improvement=first_improvement)
 
     def body(_, s):
-        return gls_iteration(s, D, guide_stack, perturbation_moves=perturbation_moves)
+        return gls_iteration(s, D, guide_stack,
+                             perturbation_moves=perturbation_moves,
+                             first_improvement=first_improvement)
 
     return jax.lax.fori_loop(0, n_iters, body, state)

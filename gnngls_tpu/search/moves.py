@@ -38,6 +38,16 @@ EPS_CLOSE = 1e-8 / (1.0 - 1e-5)
 _INF = jnp.inf
 
 
+def _pick(score, first_improvement: bool):
+    """Flat index of the chosen candidate: most-negative (best-improvement,
+    first occurrence on ties) or first valid in scan order (first-improvement,
+    operators.py:44-45)."""
+    flat = score.reshape(-1)
+    if first_improvement:
+        return jnp.argmax(jnp.isfinite(flat))
+    return jnp.argmin(flat)
+
+
 class Move(NamedTuple):
     delta: jax.Array  # f32 scalar, improvement (negative) or 0
     i: jax.Array  # i32 scalar
@@ -84,7 +94,8 @@ def _two_opt_delta_matrix(M: jax.Array) -> jax.Array:
     return M + shifted - c[:, None] - c[None, :]
 
 
-def two_opt_a2a(tour: jax.Array, D: jax.Array) -> Move:
+def two_opt_a2a(tour: jax.Array, D: jax.Array,
+                first_improvement: bool = False) -> Move:
     """Best improving 2-opt move over all (i, j).  operators.py:32-50."""
     nt = tour.shape[0]
     n = nt - 1
@@ -93,14 +104,15 @@ def two_opt_a2a(tour: jax.Array, D: jax.Array) -> Move:
     ii, jj = _position_grids(nt)
     valid = (ii >= 1) & (jj <= n - 1) & (jj - ii >= 2) & (delta < -EPS_CLOSE)
     score = jnp.where(valid, delta, _INF)
-    k = jnp.argmin(score.reshape(-1))
+    k = _pick(score, first_improvement)
     best = score.reshape(-1)[k]
     found = jnp.isfinite(best)
     return Move(jnp.where(found, best, 0.0), (k // nt).astype(jnp.int32),
                 (k % nt).astype(jnp.int32), found)
 
 
-def two_opt_o2a(tour: jax.Array, D: jax.Array, i: jax.Array) -> Move:
+def two_opt_o2a(tour: jax.Array, D: jax.Array, i: jax.Array,
+                first_improvement: bool = False) -> Move:
     """Best improving 2-opt move with one endpoint fixed at position i.
 
     operators.py:53-73 — j sweeps [1, n-1]; the delta helper symmetrizes
@@ -119,7 +131,7 @@ def two_opt_o2a(tour: jax.Array, D: jax.Array, i: jax.Array) -> Move:
     delta = row_i + row_im1_shift - c[i] - c
     valid = (jv >= 1) & (jv <= n - 1) & (jnp.abs(i - jv) >= 2) & (delta < -EPS_CLOSE)
     score = jnp.where(valid, delta, _INF)
-    j = jnp.argmin(score)
+    j = _pick(score, first_improvement)
     best = score[j]
     found = jnp.isfinite(best)
     return Move(jnp.where(found, best, 0.0), jnp.minimum(i, j).astype(jnp.int32),
@@ -174,7 +186,8 @@ def _relocate_delta_matrix(M: jax.Array) -> jax.Array:
     return rem[:, None] + ins
 
 
-def relocate_a2a(tour: jax.Array, D: jax.Array) -> Move:
+def relocate_a2a(tour: jax.Array, D: jax.Array,
+                 first_improvement: bool = False) -> Move:
     """Best improving relocate over all ordered (i, j), skipping i-j == 1.
 
     operators.py:129-147.
@@ -187,14 +200,15 @@ def relocate_a2a(tour: jax.Array, D: jax.Array) -> Move:
     valid = ((ii >= 1) & (ii <= n - 1) & (jj >= 1) & (jj <= n - 1)
              & (ii != jj) & (ii - jj != 1) & (delta < -EPS_CLOSE))
     score = jnp.where(valid, delta, _INF)
-    k = jnp.argmin(score.reshape(-1))
+    k = _pick(score, first_improvement)
     best = score.reshape(-1)[k]
     found = jnp.isfinite(best)
     return Move(jnp.where(found, best, 0.0), (k // nt).astype(jnp.int32),
                 (k % nt).astype(jnp.int32), found)
 
 
-def relocate_o2a(tour: jax.Array, D: jax.Array, i: jax.Array) -> Move:
+def relocate_o2a(tour: jax.Array, D: jax.Array, i: jax.Array,
+                 first_improvement: bool = False) -> Move:
     """Best improving relocate of the city at position i (skips only i == j).
 
     operators.py:106-126 — note i-j == 1 is NOT skipped here, matching the
@@ -207,7 +221,7 @@ def relocate_o2a(tour: jax.Array, D: jax.Array, i: jax.Array) -> Move:
     jv = jnp.arange(nt, dtype=jnp.int32)
     valid = (jv >= 1) & (jv <= n - 1) & (jv != i) & (delta_row < -EPS_CLOSE)
     score = jnp.where(valid, delta_row, _INF)
-    j = jnp.argmin(score)
+    j = _pick(score, first_improvement)
     best = score[j]
     found = jnp.isfinite(best)
     return Move(jnp.where(found, best, 0.0), i.astype(jnp.int32), j.astype(jnp.int32), found)

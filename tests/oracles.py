@@ -188,3 +188,28 @@ def o_guided_local_search(D, guide, init_tour, n_iters, perturbation_moves=20):
             best_tour, best_cost = cur_tour, cur_cost
 
     return best_tour, best_cost, progress
+
+
+def o_two_opt_a2a_first(tour, D):
+    """First-improvement variant (operators.py first_improvement=True path)."""
+    m = len(tour) - 1
+    for i in range(1, m):
+        for j in range(i + 1, m):
+            if abs(i - j) < 2:
+                continue
+            d = o_two_opt_cost(tour, D, i, j)
+            if _accept(d, 0.0):
+                return d, o_two_opt(tour, i, j)
+    return 0.0, tour
+
+
+def o_relocate_a2a_first(tour, D):
+    m = len(tour) - 1
+    for i in range(1, m):
+        for j in range(1, m):
+            if i == j or i - j == 1:
+                continue
+            d = o_relocate_cost(tour, D, i, j)
+            if _accept(d, 0.0):
+                return d, o_relocate(tour, i, j)
+    return 0.0, tour

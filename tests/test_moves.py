@@ -93,3 +93,20 @@ def test_tour_cost_matches():
     tour = rand_tour(9, 2)
     assert abs(float(mv.tour_cost(jnp.asarray(D), jnp.asarray(tour))) -
                O.o_tour_cost(D, tour)) < 1e-5
+
+
+@pytest.mark.parametrize("n,seed", [(8, 0), (15, 5)])
+def test_first_improvement_matches_oracle(n, seed):
+    D = rand_instance(n, seed)
+    tour = rand_tour(n, seed)
+    Dj, tj = jnp.asarray(D), jnp.asarray(tour, dtype=jnp.int32)
+
+    od, ot = O.o_two_opt_a2a_first(tour, D)
+    m = mv.two_opt_a2a(tj, Dj, first_improvement=True)
+    got = np.asarray(jnp.where(m.found, mv.apply_two_opt(tj, m.i, m.j), tj))
+    assert got.tolist() == ot
+
+    od, ot = O.o_relocate_a2a_first(tour, D)
+    m = mv.relocate_a2a(tj, Dj, first_improvement=True)
+    got = np.asarray(jnp.where(m.found, mv.apply_relocate(tj, m.i, m.j), tj))
+    assert got.tolist() == ot
