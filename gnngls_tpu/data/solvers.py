@@ -20,6 +20,7 @@ framework provides a tiered oracle:
 
 from __future__ import annotations
 
+import functools
 import shutil
 import subprocess
 import tempfile
@@ -99,6 +100,31 @@ def held_karp_fixed_edge(D: np.ndarray, e: Tuple[int, int]) -> Tuple[list, float
 # GLS-based near-optimal oracle (TPU, batched)
 
 
+@functools.lru_cache(maxsize=32)
+def _fixed_edge_solver(n: int, n_iters: int, perturbation_moves: int):
+    """Compiled batched forced-edge GLS solver, cached per (n, budget).
+
+    (A fresh jit closure per instance would recompile every call.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..search import construct, local_search as ls
+
+    def run(D2, Dtrue):
+        def solve(Dr):
+            init = construct.nearest_neighbor(Dr, 0)
+            k = 0.1 * ls.mv.tour_cost(Dtrue, init) / n
+            out = ls.guided_local_search(Dr, Dr[None], init, n_iters=n_iters,
+                                         perturbation_moves=perturbation_moves,
+                                         k=k)
+            return out.best_cost, out.best_tour
+
+        return jax.vmap(solve)(D2)
+
+    return jax.jit(run)
+
+
 def gls_oracle(Ds: np.ndarray, *, n_iters: int = 25, perturbation_moves: int = 30,
                seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Near-optimal tours for a batch of instances via our own GLS.
@@ -137,10 +163,7 @@ def gls_fixed_edge_costs(D: np.ndarray, edges: np.ndarray, *, n_iters: int = 10,
     Returns (costs (E,), used (E,) bool — whether the forced edge is actually
     in the returned tour; callers should re-solve or fall back otherwise).
     """
-    import jax
     import jax.numpy as jnp
-
-    from ..search import construct, local_search as ls
 
     D = np.asarray(D, dtype=np.float64)
     n = D.shape[0]
@@ -150,16 +173,9 @@ def gls_fixed_edge_costs(D: np.ndarray, edges: np.ndarray, *, n_iters: int = 10,
     D2[np.arange(E), edges[:, 0], edges[:, 1]] -= M
     D2[np.arange(E), edges[:, 1], edges[:, 0]] -= M
 
-    Dtrue = jnp.asarray(D, dtype=jnp.float32)
-
-    def solve(Dr):
-        init = construct.nearest_neighbor(Dr, 0)
-        k = 0.1 * ls.mv.tour_cost(Dtrue, init) / n
-        out = ls.guided_local_search(Dr, Dr[None], init, n_iters=n_iters,
-                                     perturbation_moves=perturbation_moves, k=k)
-        return out.best_cost, out.best_tour
-
-    costs, tours = jax.jit(jax.vmap(solve))(jnp.asarray(D2, dtype=jnp.float32))
+    solver = _fixed_edge_solver(n, n_iters, perturbation_moves)
+    costs, tours = solver(jnp.asarray(D2, dtype=jnp.float32),
+                          jnp.asarray(D, dtype=jnp.float32))
     tours = np.asarray(tours)
     a, b = tours[:, :-1], tours[:, 1:]
     used = (((a == edges[:, :1]) & (b == edges[:, 1:2]))
