@@ -5,8 +5,11 @@ Prints ONE JSON line {metric, value, unit, vs_baseline}.
 Baseline: the reference's single-thread Python GLS sustains ~92 accepted
 moves/s at n=100 under its 10 s protocol (BASELINE.md, measured on this
 machine with the reference search stack verbatim).  We run identical search
-semantics (move-for-move parity, tests/test_search.py) as one vmapped batch
-on a single TPU chip and report accepted moves/s.
+semantics as one batch on a single TPU chip and report accepted moves/s.
+
+Engine: the whole-search Pallas kernel (search/pallas_gls.py) — the entire
+GLS state resident in VMEM, one grid cell per instance; falls back to the
+vmapped XLA engine (search/batched.run_fixed) if the kernel path fails.
 
 Methodology notes: the remote-TPU tunnel adds a stochastic O(100 ms) per-call
 overhead and caches identical executions, so each timed chunk uses distinct
@@ -22,40 +25,74 @@ import numpy as np
 BASELINE_MOVES_PER_S = 92.0  # BASELINE.md: reference GLS, n=100, 1 CPU thread
 
 
-def main():
+def make_set(seed, B, n):
     import jax
     import jax.numpy as jnp
 
     from gnngls_tpu.search import batched
 
-    n, B, chunk_iters, n_chunks = 100, 1024, 2, 3
-    states_list = []
-    for s in range(n_chunks):
-        rng = np.random.default_rng(100 + s)
-        pos = rng.random((B, n, 2))
-        Ds = jnp.asarray(np.linalg.norm(pos[:, :, None] - pos[:, None, :],
-                                        axis=-1).astype(np.float32))
-        inits = batched.nearest_neighbor_batch(Ds)
+    rng = np.random.default_rng(seed)
+    pos = rng.random((B, n, 2))
+    Ds = jnp.asarray(np.linalg.norm(pos[:, :, None] - pos[:, None, :],
+                                    axis=-1).astype(np.float32))
+    inits = batched.nearest_neighbor_batch(Ds)
+    jax.block_until_ready((Ds, inits))
+    return Ds, inits
+
+
+def bench_pallas(n, B, n_iters, n_chunks):
+    from gnngls_tpu.search import pallas_gls
+
+    sets = [make_set(100 + s, B, n) for s in range(n_chunks + 1)]
+    # warm-up compile (not timed)
+    _, _, m = pallas_gls.gls_pallas(sets[0][0], sets[0][0], sets[0][1],
+                                    n_iters=n_iters, perturbation_moves=20)
+    _ = np.asarray(m)
+
+    moves, dt = 0.0, 0.0
+    for Ds, inits in sets[1:]:
+        t0 = time.perf_counter()
+        _, _, mv = pallas_gls.gls_pallas(Ds, Ds, inits, n_iters=n_iters,
+                                         perturbation_moves=20)
+        moves += float(np.asarray(mv).sum())  # host read forces completion
+        dt += time.perf_counter() - t0
+    return moves / dt, "pallas"
+
+
+def bench_xla(n, B, n_iters, n_chunks):
+    import jax
+
+    from gnngls_tpu.search import batched
+
+    sets = []
+    for s in range(n_chunks + 1):
+        Ds, inits = make_set(200 + s, B, n)
         st = batched.batch_init(Ds, Ds[:, None], inits, 2048)
         jax.block_until_ready(st)
-        states_list.append((Ds, st, int(np.asarray(st.trace.n).sum())))
+        sets.append((Ds, st, int(np.asarray(st.trace.n).sum())))
 
-    # warm-up compile on the first set (not timed)
-    warm = batched.batch_chunk(states_list[0][1], states_list[0][0],
-                               states_list[0][0][:, None], chunk_iters, 20)
+    warm = batched.batch_chunk(sets[0][1], sets[0][0], sets[0][0][:, None],
+                               n_iters, 20)
     _ = int(np.asarray(warm.trace.n).sum())
 
-    moves, dt = 0, 0.0
-    for Ds, st, n0 in states_list:
+    moves, dt = 0.0, 0.0
+    for Ds, st, n0 in sets[1:]:
         t0 = time.perf_counter()
-        out = batched.batch_chunk(st, Ds, Ds[:, None], chunk_iters, 20)
-        n1 = int(np.asarray(out.trace.n).sum())  # host read forces completion
+        out = batched.batch_chunk(st, Ds, Ds[:, None], n_iters, 20)
+        n1 = int(np.asarray(out.trace.n).sum())
         dt += time.perf_counter() - t0
         moves += n1 - n0
+    return moves / dt, "xla"
 
-    value = moves / dt
+
+def main():
+    n, B = 100, 1024
+    try:
+        value, engine = bench_pallas(n, B, n_iters=5, n_chunks=3)
+    except Exception:
+        value, engine = bench_xla(n, B, n_iters=2, n_chunks=3)
     print(json.dumps({
-        "metric": f"tsp100 GLS accepted moves/s (B={B}, {n_chunks}x{chunk_iters} outer iters, 1 chip)",
+        "metric": f"tsp100 GLS accepted moves/s ({engine} engine, B={B}, 1 chip)",
         "value": round(value, 1),
         "unit": "moves/s",
         "vs_baseline": round(value / BASELINE_MOVES_PER_S, 1),

@@ -57,12 +57,17 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
              n_iters: Optional[int] = None,
              perturbation_moves: int = 20,
              first_improvement: bool = False,
-             batch_size: int = 64) -> dict:
+             batch_size: int = 64,
+             engine: str = "auto") -> dict:
     """Evaluate GLS (optionally model-guided) over a dataset.
 
     Either `time_limit` (reference wall-clock protocol, applied to the whole
     batched run) or `n_iters` (deterministic fixed budget) must be set;
     n_iters takes precedence when given.
+
+    engine: "xla" (vmapped lax engine, per-move traces, exact reference
+    trajectories), "pallas" (whole-search VMEM kernel, ~4x faster, single
+    guide, no traces), or "auto" (pallas when eligible on TPU, else xla).
     """
     guides = list(guides)
     n = dataset.n_nodes
@@ -81,7 +86,17 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
     init_tours = np.asarray(batched.nearest_neighbor_batch(jnp.asarray(init_guide)))
     guide_stack = batched.make_guide_stack(Ds, guides, regret_mats)
 
-    if n_iters is not None:
+    if engine == "pallas" and n_iters is None:
+        raise ValueError("engine='pallas' needs a fixed n_iters budget "
+                         "(the kernel has no wall-clock chunking)")
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and n_iters is not None and len(guides) == 1
+        and not first_improvement and jax.default_backend() == "tpu")
+    if n_iters is not None and use_pallas:
+        result = batched.run_fixed_pallas(Ds, guide_stack, init_tours,
+                                          n_iters=n_iters,
+                                          perturbation_moves=perturbation_moves)
+    elif n_iters is not None:
         result = batched.run_fixed(Ds, guide_stack, init_tours, n_iters=n_iters,
                                    perturbation_moves=perturbation_moves,
                                    first_improvement=first_improvement)

@@ -132,6 +132,48 @@ def run_wall_clock(Ds, guide_stack, init_tours, *, time_limit_s: float,
     )
 
 
+def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
+                     perturbation_moves: int = 20,
+                     interpret: Optional[bool] = None) -> BatchResult:
+    """Fixed-budget GLS on the whole-search Pallas kernel (fast mode).
+
+    ~4x the XLA engine's moves/s on TPU (the search state stays VMEM-resident
+    instead of round-tripping hundreds of small HLOs per outer iteration).
+    Supports exactly one guide matrix and keeps no per-move trace — the
+    shipped pipeline's configuration; use `run_fixed` when you need traces,
+    guide cycling, or first-improvement mode.  Final costs are re-derived
+    from the tours in plain f32 on the host (the kernel's incremental
+    tour-space accounting is validated to ~1e-6 but not bit-identical).
+    """
+    from . import pallas_gls
+
+    Ds = np.asarray(Ds, dtype=np.float32)
+    guide_stack = np.asarray(guide_stack, dtype=np.float32)
+    if guide_stack.shape[1] != 1:
+        raise ValueError("pallas engine supports exactly one guide "
+                         f"(got {guide_stack.shape[1]}); use run_fixed")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    t0 = time.time()
+    tours, _, moves = pallas_gls.gls_pallas(
+        jnp.asarray(Ds), jnp.asarray(guide_stack[:, 0]),
+        jnp.asarray(init_tours), n_iters=n_iters,
+        perturbation_moves=perturbation_moves, interpret=interpret)
+    tours = np.asarray(tours)
+    moves_n = np.asarray(moves).astype(np.int64)
+    t1 = time.time()
+    B = Ds.shape[0]
+    costs = Ds[np.arange(B)[:, None], tours[:, :-1], tours[:, 1:]].sum(-1)
+    return BatchResult(
+        best_tours=tours,
+        best_costs=costs.astype(np.float64),
+        trace_costs=np.zeros((B, 0), np.float32),
+        trace_n=np.zeros((B,), np.int64),
+        chunk_times=[t0, t1],
+        chunk_moves=np.stack([np.zeros_like(moves_n), moves_n], axis=1),
+    )
+
+
 @jax.jit
 def nearest_neighbor_batch(W):
     """vmapped nearest-neighbor init from guide matrices (B, n, n)."""

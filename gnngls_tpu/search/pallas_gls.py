@@ -46,8 +46,9 @@ _BIGI = 1.0e9
 
 
 def _iota2(nr, nc):
-    rr = jax.lax.broadcasted_iota(jnp.float32, (nr, nc), 0)
-    cc = jax.lax.broadcasted_iota(jnp.float32, (nr, nc), 1)
+    # int32 iota then cast: Mosaic's tpu.iota is integer-only
+    rr = jax.lax.broadcasted_iota(jnp.int32, (nr, nc), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (nr, nc), 1).astype(jnp.float32)
     return rr, cc
 
 
@@ -77,7 +78,7 @@ def _first_min_2d(score):
                       keepdims=True)  # (nr, 1) first col of row min
     gmin = jnp.min(row_min)
     rsel = row_min[:, 0:1] == gmin
-    rr1 = jax.lax.broadcasted_iota(jnp.float32, (nr, 1), 0)
+    rr1 = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0).astype(jnp.float32)
     row_idx = jnp.min(jnp.where(rsel, rr1, _BIGI))
     col_at = jnp.sum(jnp.where((rr1 == row_idx) & rsel, col_idx, 0.0))
     # col_at: if several rows tie at row_idx the mask picks exactly that row
@@ -105,8 +106,33 @@ def _scalar_at(vec_row, idx):
     return jnp.sum(jnp.where(cc == idx, vec_row, 0.0))
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    """Exact f32 matmul for 0/1 permutation operands.
+
+    At HIGHEST precision the bf16x3 decomposition reconstructs each f32
+    product 1.0*x exactly, so permutation matmuls are bit-exact."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), precision=_HI)
+
+
+def _shift_mat(nt, shift):
+    """(nt, nt) 0/1 matrix S with (x @ S)[i, q] = x[i, (q - shift) mod nt],
+    i.e. jnp.roll(x, shift, axis=1).  Mosaic has no aligned-roll, so rolls
+    become MXU permutation matmuls (exact, see _dot)."""
+    rr, cc = _iota2(nt, nt)
+    src = cc - float(shift)
+    src = jnp.where(src < 0.0, src + nt, jnp.where(src >= nt, src - nt, src))
+    return (rr == src).astype(jnp.float32)
+
+
 def _roll_cols(x, shift):
-    return jnp.roll(x, shift, axis=1)
+    return _dot(x, _shift_mat(x.shape[1], shift))
+
+
+def _roll_rows(x, shift):
+    return _dot(jnp.transpose(_shift_mat(x.shape[0], shift)), x)
 
 
 def _permute_all(tour, M, MG, MP, src_row):
@@ -119,14 +145,11 @@ def _permute_all(tour, M, MG, MP, src_row):
     rr, cc = _iota2(nt, nt)
     PM = (cc == jnp.transpose(src_row)).astype(jnp.float32)  # (nt_p, nt_r)
 
-    tour_new = jnp.sum(PM * jnp.transpose(tour), axis=1, keepdims=True)
+    tour_new = _dot(PM, tour)
 
     def perm(A):
-        # rows: B[p, q] = sum_r PM[p, r] A[r, q]  (contract middle of 3-D)
-        B = jnp.sum(PM[:, :, None] * A[None, :, :], axis=1)
-        # cols: C[p, q] = sum_r B[p, r] PM[q, r]  (contract last axis)
-        C = jnp.sum(B[:, None, :] * PM[None, :, :], axis=2)
-        return C
+        # B = PM A PM^T on the MXU (exact for permutation operands, see _dot)
+        return _dot(_dot(PM, A), jnp.transpose(PM))
 
     return tour_new, perm(M), perm(MG), perm(MP)
 
@@ -152,7 +175,7 @@ def _two_opt_a2a_delta(Mat):
     """Masked (nt, nt) 2-opt delta grid (garbage outside valid region)."""
     nt = Mat.shape[0]
     n = nt - 1
-    shifted = _roll_cols(jnp.roll(Mat, 1, axis=0), 1)  # [i,j] -> M[i-1,j-1] (wraps masked)
+    shifted = _roll_cols(_roll_rows(Mat, 1), 1)  # [i,j] -> M[i-1,j-1] (wraps masked)
     c_row = _superdiag_row(Mat, 1)  # c[j] = M[j, j+1] ... careful: need M[j, j-1]
     # c[j] = M[j, j-1] = M[j-1, j] (symmetry) = superdiag at offset -1 of row j:
     # using rr == cc - 1 mask: sum_p M[p, q] (p == q - 1) = M[q-1, q] ✓
@@ -184,8 +207,8 @@ def _relocate_a2a_delta(Mat):
     return jnp.where(valid, delta, _BIG)
 
 
-def _gls_kernel(D_ref, G_ref, tour_ref, best_tour_ref, best_cost_ref,
-                moves_ref, *, n, n_outer, pmoves, max_ls_iters, max_pert_iters):
+def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_outer, pmoves,
+                max_ls_iters, max_pert_iters):
     nt = n + 1
     D = D_ref[0]
     G = G_ref[0]
@@ -283,9 +306,10 @@ def _gls_kernel(D_ref, G_ref, tour_ref, best_tour_ref, best_cost_ref,
 
             def endpoint(node, tour, M, MG, MP, cost, moves, pmade):
                 active = node != 0.0
-                pos = jnp.min(jnp.where(jnp.transpose(tour) == node,
-                                        jax.lax.broadcasted_iota(
-                                            jnp.float32, (1, nt), 1), _BIGI))
+                pos = jnp.min(jnp.where(
+                    jnp.transpose(tour) == node,
+                    jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+                    .astype(jnp.float32), _BIGI))
                 Mg = M + k * MP
                 d, lo, hi2 = o2a_two_opt(Mg, pos)
                 acc = active & (d < -EPS_CLOSE)
@@ -337,9 +361,14 @@ def _gls_kernel(D_ref, G_ref, tour_ref, best_tour_ref, best_cost_ref,
 
     out = jax.lax.fori_loop(0, n_outer, outer,
                             (tour, M, MG, MP, cost, moves, best_tour, best_cost))
-    best_tour_ref[0] = out[6]
-    best_cost_ref[0, 0] = out[7]
-    moves_ref[0, 0] = out[5]
+    # packed output rows: [0, nt) = best tour, nt = best cost, nt+1 = moves
+    # (per-grid-cell scalar outputs would violate the TPU block tiling rule;
+    #  padding via selection matmul — Mosaic rejects unaligned concatenate)
+    rp, cp = _iota2(nt + 2, nt)
+    padded = _dot((rp == cp).astype(jnp.float32), out[6])
+    rr1 = jax.lax.broadcasted_iota(jnp.int32, (nt + 2, 1), 0).astype(jnp.float32)
+    out_ref[0] = jnp.where(rr1 < nt, padded,
+                           jnp.where(rr1 == nt, out[7], out[5]))
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "perturbation_moves",
@@ -359,7 +388,7 @@ def gls_pallas(Ds, guides, init_tours, *, n_iters: int,
         _gls_kernel, n=n, n_outer=n_iters, pmoves=float(perturbation_moves),
         max_ls_iters=10 * n, max_pert_iters=3 * perturbation_moves)
 
-    best_tour, best_cost, moves = pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -367,17 +396,10 @@ def gls_pallas(Ds, guides, init_tours, *, n_iters: int,
             pl.BlockSpec((1, n, n), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, nt, 1), lambda b: (b, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, nt, 1), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1), lambda b: (b, 0)),
-            pl.BlockSpec((1, 1), lambda b: (b, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nt, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, nt + 2, 1), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nt + 2, 1), jnp.float32),
         interpret=interpret,
     )(Ds, guides, tours_f)
 
-    return (best_tour[..., 0].astype(jnp.int32), best_cost[:, 0], moves[:, 0])
+    packed = packed[..., 0]
+    return (packed[:, :nt].astype(jnp.int32), packed[:, nt], packed[:, nt + 1])
