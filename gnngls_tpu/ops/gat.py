@@ -129,12 +129,17 @@ def gat_conv_chunked(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     slot_u = jnp.asarray(topo.slot_u)
     slot_v = jnp.asarray(topo.slot_v)
 
+    self_mask = jnp.eye(n - 1, dtype=bool)[:, :, None]  # (tgt, src, 1)
+
     def chunk_partials(ce):  # ce: (chunk, n-1)
         el_c = el[..., ce, :]  # (..., chunk, n-1, H)
         er_c = er[..., ce, :]
         h_c = h[..., ce, :, :]
         s = jax.nn.leaky_relu(el_c[..., :, None, :, :] + er_c[..., :, :, None, :],
                               LEAKY_SLOPE)
+        # self pair masked before max/exp (see gat_conv: post-hoc subtraction
+        # cancels catastrophically when the self score dominates)
+        s = jnp.where(self_mask, -jnp.inf, s)
         m = s.max(axis=-2)  # (..., chunk, n-1, H) per-group max
         p = jnp.exp(s - m[..., :, None, :])
         z = p.sum(axis=-2)
@@ -159,10 +164,6 @@ def gat_conv_chunked(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     z = z_flat[..., slot_u, :] * su + z_flat[..., slot_v, :] * sv
     num = (num_flat[..., slot_u, :, :] * su[..., None]
            + num_flat[..., slot_v, :, :] * sv[..., None])
-
-    s_self = jnp.exp(jax.nn.leaky_relu(el + er, LEAKY_SLOPE) - m)
-    z = z - 2.0 * s_self
-    num = num - 2.0 * s_self[..., None] * h
     out = num / z[..., None]
     return out.reshape(out.shape[:-2] + (-1,))
 
@@ -189,14 +190,20 @@ def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: 
     s = jax.nn.leaky_relu(el_c[..., :, None, :, :] + er_c[..., :, :, None, :], LEAKY_SLOPE)
     # (..., n, tgt n-1, src n-1, H)
 
-    # Per-destination stabilizer: max over both groups (self score included —
-    # harmless, it's still a valid constant shift per destination).
+    # Edge e sits in both of its groups, and inside a group the self pair is
+    # the (tgt == src) diagonal.  Mask it out BEFORE max/exp: subtracting the
+    # self term after the fact (z - 2 e^{s_self - m}) cancels catastrophically
+    # once a self score dominates its group — observed as training NaNs.
+    self_mask = jnp.eye(n - 1, dtype=bool)[:, :, None]  # (tgt, src, 1)
+    s = jnp.where(self_mask, -jnp.inf, s)
+
+    # Per-destination stabilizer: max over both groups (self excluded).
     m_g = s.max(axis=-2)  # (..., n, n-1, H) max over sources, per (group, tgt)
     m_flat = m_g.reshape(m_g.shape[:-3] + (n * (n - 1),) + m_g.shape[-1:])
     m = jnp.maximum(m_flat[..., slot_u, :], m_flat[..., slot_v, :])  # (..., E, H)
     m_c = m[..., city, :]  # back to group-local target layout (..., n, n-1, H)
 
-    p = jnp.exp(s - m_c[..., :, :, None, :])  # (..., n, n-1, n-1, H)
+    p = jnp.exp(s - m_c[..., :, :, None, :])  # (..., n, n-1, n-1, H); self -> 0
 
     # Partial sums per group: denominator and numerator (batched dense matmul).
     z_g = p.sum(axis=-2)  # (..., n, n-1, H)
@@ -210,11 +217,7 @@ def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: 
     z_flat = z_g.reshape(z_g.shape[:-3] + (n * (n - 1),) + z_g.shape[-1:])
     num_flat = num_g.reshape(num_g.shape[:-4] + (n * (n - 1),) + num_g.shape[-2:])
 
-    # Self term: edge e is a member of both of its groups; remove both copies.
-    s_self = jnp.exp(jax.nn.leaky_relu(el + er, LEAKY_SLOPE) - m)  # (..., E, H)
-
-    z = z_flat[..., slot_u, :] + z_flat[..., slot_v, :] - 2.0 * s_self
-    num = (num_flat[..., slot_u, :, :] + num_flat[..., slot_v, :, :]
-           - 2.0 * s_self[..., None] * h)
+    z = z_flat[..., slot_u, :] + z_flat[..., slot_v, :]
+    num = num_flat[..., slot_u, :, :] + num_flat[..., slot_v, :, :]
     out = num / z[..., None]
     return out.reshape(out.shape[:-2] + (-1,))

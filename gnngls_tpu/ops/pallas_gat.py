@@ -43,9 +43,17 @@ def _group_kernel(el_ref, er_ref, hc_ref, m_ref, z_ref, num_ref):
     el = el_ref[0, 0]  # (g, HF) source scores, head-replicated
     er = er_ref[0, 0]  # (g, HF) target scores
     hc = hc_ref[0, 0]  # (g, HF) member features
+    g = el.shape[0]
 
     s = er[:, None, :] + el[None, :, :]  # (g_tgt, g_src, HF)
     s = jnp.where(s > 0, s, LEAKY_SLOPE * s)
+    # mask the self pair (tgt == src diagonal) BEFORE max/exp — subtracting
+    # e^{s_self - m} afterwards cancels catastrophically when the self score
+    # dominates its group (no self-loops in the reference line graph,
+    # gnngls/datasets.py:56)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (g, g, 1), 0)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (g, g, 1), 1)
+    s = jnp.where(tt == ss, -3.0e38, s)
     m = jnp.max(s, axis=1)  # (g, HF)
     p = jnp.exp(s - m[:, None, :])
     m_ref[0, 0] = m
@@ -107,11 +115,5 @@ def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
 
     z = z_flat[:, slot_u] * su + z_flat[:, slot_v] * sv
     num = num_flat[:, slot_u] * su + num_flat[:, slot_v] * sv
-
-    # remove the double-counted self contribution (no self-loops in the
-    # reference line graph, gnngls/datasets.py:56)
-    s_self = jnp.exp(rep(jax.nn.leaky_relu(el + er, LEAKY_SLOPE)) - m)
-    z = z - 2.0 * s_self
-    num = num - 2.0 * s_self * h.reshape(B, E, HF)
     out = num / z
     return out[0] if squeeze else out
