@@ -24,11 +24,14 @@ shipped-models layout).
 import json
 import pathlib
 import shutil
+import sys
 import time
 
 import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
 RUN = ROOT / "runs" / "tsp20"
 
 N_TOTAL, N_TRAIN, N_TEST, N_VAL = 3000, 2500, 300, 200
