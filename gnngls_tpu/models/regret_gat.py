@@ -114,8 +114,10 @@ def forward(
 
     Matches gnngls/models.py:65-70 + AttentionLayer.forward (models.py:38-40).
 
-    gat_impl: 'fast' (XLA einsum; bf16 aggregation passes on TPU), 'naive'
-    (gather oracle), or 'pallas' (fused kernel, f32-exact on TPU — the
+    gat_impl: 'fast' (XLA einsum), 'bf16' (fast + bf16 attention tensor +
+    single-pass projections — the high-throughput inference mode, ~1e-2
+    relative output noise), 'naive' (gather oracle), 'chunked' (large-n
+    memory-bounded), or 'pallas' (fused kernel, f32-exact on TPU — the
     inference path for checkpoint parity on hardware).
     """
     if gat_impl == "pallas":
@@ -128,6 +130,10 @@ def forward(
         from ..ops.gat import gat_conv_chunked
 
         conv = gat_conv_chunked
+    elif gat_impl == "bf16":
+        import functools
+
+        conv = functools.partial(gat_conv, fast=True)
     else:
         conv = gat_conv
     h = linear(params.embed, x)

@@ -80,15 +80,20 @@ def init_gat_params(key, c_in: int, n_heads: int, head_dim: int, dtype=jnp.float
 PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _project(params: GATParams, x: jax.Array, n_heads: int):
-    """x: (..., E, C_in) -> h: (..., E, H, F), el/er: (..., E, H)."""
+def _project(params: GATParams, x: jax.Array, n_heads: int,
+             fast: bool = False):
+    """x: (..., E, C_in) -> h: (..., E, H, F), el/er: (..., E, H).
+
+    fast=True trades exactness for speed: single-pass bf16 MXU projections
+    (DEFAULT precision) with f32 accumulation."""
     hf = params.fc_w.shape[1]
     head_dim = hf // n_heads
+    prec = jax.lax.Precision.DEFAULT if fast else PRECISION
     h = jnp.einsum("...ec,cd->...ed", x, params.fc_w,
-                   preferred_element_type=jnp.float32, precision=PRECISION)
+                   preferred_element_type=jnp.float32, precision=prec)
     h = h.reshape(h.shape[:-1] + (n_heads, head_dim))
-    el = jnp.einsum("...ehf,hf->...eh", h, params.attn_l, precision=PRECISION)
-    er = jnp.einsum("...ehf,hf->...eh", h, params.attn_r, precision=PRECISION)
+    el = jnp.einsum("...ehf,hf->...eh", h, params.attn_l, precision=prec)
+    er = jnp.einsum("...ehf,hf->...eh", h, params.attn_r, precision=prec)
     return h, el, er
 
 
@@ -168,14 +173,21 @@ def gat_conv_chunked(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     return out.reshape(out.shape[:-2] + (-1,))
 
 
-def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: int) -> jax.Array:
+def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array,
+             n_heads: int, fast: bool = False) -> jax.Array:
     """City-group batched-dense implementation (the TPU fast path).
 
     x: (..., E, C_in) -> (..., E, H * F).  Identical numerics to
     ``gat_conv_naive`` (up to float addition order).
+
+    fast=True is the bf16 inference mode: projections run single-pass bf16
+    and the (n, n-1, n-1, H) attention tensor is cast to bf16 before the
+    aggregation einsum — halves the HBM traffic and MXU input width of the
+    dominant op (f32 accumulation throughout; ~1e-2 relative output noise,
+    fine for search guidance — regret_pred only orders edges).
     """
     n = topo.n
-    h, el, er = _project(params, x, n_heads)  # (...,E,H,F), (...,E,H)
+    h, el, er = _project(params, x, n_heads, fast)  # (...,E,H,F), (...,E,H)
 
     city = jnp.asarray(topo.city_edges)  # (n, n-1)
     slot_u = jnp.asarray(topo.slot_u)  # (E,)
@@ -211,6 +223,9 @@ def gat_conv(params: GATParams, topo: LineGraphTopology, x: jax.Array, n_heads: 
     # (HIGHEST here explodes compile/runtime).  For f32-exact aggregation on
     # TPU use the Pallas kernel (ops/pallas_gat.py, pure-VPU f32) or the
     # naive path; on CPU this einsum is exact f32 (parity tests run there).
+    if fast:
+        p = p.astype(jnp.bfloat16)
+        h_c = h_c.astype(jnp.bfloat16)
     num_g = jnp.einsum("...uijh,...ujhf->...uihf", p, h_c,
                        preferred_element_type=jnp.float32)  # (..., n, n-1, H, F)
 

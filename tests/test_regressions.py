@@ -97,3 +97,18 @@ def _native():
     from gnngls_tpu.data import native_oracle
 
     return native_oracle.available()
+
+
+def test_gat_bf16_mode_close_to_f32():
+    """'bf16' inference mode tracks the exact path to bf16-level noise."""
+    from gnngls_tpu.models import regret_gat as M
+
+    cfg = M.RegretGNNConfig(in_dim=1, embed_dim=32, n_heads=4)
+    params, state = M.init_params(jax.random.PRNGKey(0), cfg)
+    n = 12
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, build_topology(n).n_edges, 1))
+    y_exact, _ = M.make_apply(cfg, n, gat_impl="fast")(params, state, x)
+    y_fast, _ = M.make_apply(cfg, n, gat_impl="bf16")(params, state, x)
+    err = np.abs(np.asarray(y_fast) - np.asarray(y_exact))
+    scale = np.abs(np.asarray(y_exact)).mean() + 1e-6
+    assert (err / scale).max() < 5e-2
