@@ -69,6 +69,10 @@ def gat_conv_sharded(params: GATParams, topo: LineGraphTopology, x: jax.Array,
 
         s = jax.nn.leaky_relu(el_c[..., :, None, :, :] + er_c[..., :, :, None, :],
                               LEAKY_SLOPE)  # (..., per, tgt, src, H)
+        # self pair (tgt == src diagonal) masked before max/exp — post-hoc
+        # subtraction cancels catastrophically when a self score dominates
+        # (see ops/gat.py); the two groups then hold only real neighbors
+        s = jnp.where(jnp.eye(n - 1, dtype=bool)[:, :, None], -jnp.inf, s)
 
         # Phase 1: group maxima -> all_gather -> per-edge max over both slots.
         m_g = s.max(axis=-2)  # (..., per, n-1, H)
@@ -93,9 +97,8 @@ def gat_conv_sharded(params: GATParams, topo: LineGraphTopology, x: jax.Array,
         zn_e = (jnp.take(zn_flat, slot_u, axis=-3)
                 + jnp.take(zn_flat, slot_v, axis=-3))  # (..., E, H, F+1)
 
-        s_self = jnp.exp(jax.nn.leaky_relu(el + er, LEAKY_SLOPE) - m)
-        num = zn_e[..., :F] - 2.0 * s_self[..., None] * h
-        z = zn_e[..., F] - 2.0 * s_self
+        num = zn_e[..., :F]
+        z = zn_e[..., F]
         return num / z[..., None]
 
     out = run(h, el, er)
