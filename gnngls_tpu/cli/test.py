@@ -23,6 +23,10 @@ def main(argv=None):
     parser.add_argument("--perturbation_moves", type=int, default=20)
     parser.add_argument("--n_iters", type=int, default=None,
                         help="fixed outer-iteration budget instead of wall clock")
+    parser.add_argument("--engine", type=str, default="auto",
+                        choices=("auto", "xla", "pallas"),
+                        help="search engine: pallas = whole-GLS VMEM kernel "
+                             "(fast mode, needs --n_iters)")
     parser.add_argument("--use_gpu", action="store_true")
     parser.add_argument("--batch_size", type=int, default=64)
     args = parser.parse_args(argv)
@@ -66,7 +70,8 @@ def main(argv=None):
     out = ev.evaluate(
         test_set, params=params, bn_state=bn_state, model_cfg=model_cfg,
         guides=args.guides, time_limit=args.time_limit, n_iters=args.n_iters,
-        perturbation_moves=args.perturbation_moves, batch_size=args.batch_size)
+        perturbation_moves=args.perturbation_moves, batch_size=args.batch_size,
+        engine=args.engine)
 
     print(f"instances: {len(test_set)}  mean gap: {out['mean_gap']:.4f}%  "
           f"median: {float(np.median(out['gaps'])):.4f}%  "
