@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--strict_val", action="store_true",
                         help="monitor the real val set instead of the "
                              "reference's val-on-train quirk (train.py:137)")
+    parser.add_argument("--resume", type=pathlib.Path, default=None,
+                        help="checkpoint .npz to resume from (restores model, "
+                             "BN and optimizer state; continues the epoch "
+                             "count and lr schedule)")
     args = parser.parse_args(argv)
 
     from ..core.scaler import load_scalers
@@ -56,7 +60,7 @@ def main(argv=None):
     timestamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
     run_dir = args.tb_dir / f"{timestamp}_{uuid.uuid4().hex}"
     print(f"run dir: {run_dir}")
-    tl.train_model(train_set, val_set, cfg, run_dir)
+    tl.train_model(train_set, val_set, cfg, run_dir, resume_from=args.resume)
     print(f"done; checkpoints in {run_dir}")
 
 

@@ -63,8 +63,14 @@ def _batches(N, batch_size, rng):
 
 
 def train_model(train_set: TSPDataset, val_set: TSPDataset, cfg: TrainConfig,
-                run_dir, *, verbose: bool = True):
-    """Train the regret model; returns (params, bn_state, history)."""
+                run_dir, *, verbose: bool = True, resume_from=None):
+    """Train the regret model; returns (params, bn_state, history).
+
+    resume_from: path to a checkpoint .npz — restores params, BN state,
+    optimizer state and continues from the saved epoch with the lr schedule
+    advanced accordingly (the reference can only save, SURVEY §5; the
+    early-stopping patience counter restarts on resume).
+    """
     run_dir = pathlib.Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
@@ -100,12 +106,22 @@ def train_model(train_set: TSPDataset, val_set: TSPDataset, cfg: TrainConfig,
     history = []
     best_score, counter = None, 0
     lr = cfg.lr_init
+    start_epoch = 0
+    if resume_from is not None:
+        p2, s2, o2, meta = ckpt.load_checkpoint(
+            resume_from, params_like=state.params,
+            bn_state_like=state.bn_state, opt_state_like=state.opt_state)
+        state = TrainState(p2, s2, o2 if o2 is not None else state.opt_state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        lr = cfg.lr_init * cfg.lr_decay ** start_epoch
+        if verbose:
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
     metrics_f = open(run_dir / "metrics.jsonl", "a")
 
     monitored_set = train_set if cfg.val_on_train else val_set
 
-    epoch = 0
-    for epoch in range(cfg.n_epochs):
+    epoch = start_epoch
+    for epoch in range(start_epoch, cfg.n_epochs):
         state = state._replace(opt_state=set_lr(state.opt_state, lr))
         t0 = time.time()
         losses = []

@@ -160,3 +160,18 @@ def test_train_bce_mode_smoke(tmp_path):
                           target="in_solution", bug_compat_bce_target=False)
     _, _, hist2 = tl.train_model(tr, va, cfg2, tmp_path / "run3", verbose=False)
     assert np.isfinite([h["loss"] for h in hist2]).all()
+
+
+def test_train_resume_continues(tmp_path):
+    """resume_from restores state and continues the epoch count/lr schedule."""
+    tr, va = tiny_sets()
+    cfg = tl.TrainConfig(embed_dim=16, n_heads=2, n_epochs=2, batch_size=4,
+                         seed=0, patience=50)
+    tl.train_model(tr, va, cfg, tmp_path / "run", verbose=False)
+    cfg2 = tl.TrainConfig(embed_dim=16, n_heads=2, n_epochs=4, batch_size=4,
+                          seed=0, patience=50)
+    _, _, hist = tl.train_model(
+        tr, va, cfg2, tmp_path / "run2", verbose=False,
+        resume_from=tmp_path / "run" / "checkpoint_final.npz")
+    assert [h["epoch"] for h in hist] == [2, 3]
+    assert hist[0]["lr"] == pytest.approx(cfg2.lr_init * cfg2.lr_decay ** 2)
