@@ -95,7 +95,8 @@ def main():
     quick = "--quick" in sys.argv
     results = {"gat": [], "gls": []}
 
-    gat_cases = [(500, 8, 20), (1000, 2, 8)]
+    # peak chunk memory ~ B * city_chunk * (n-1)^2 * H * 4 B — keep < ~1 GB
+    gat_cases = [(500, 2, 4), (1000, 1, 2)]
     gls_cases = [(500, 64, 2), (1000, 16, 1)]
     if quick:
         gat_cases, gls_cases = gat_cases[:1], gls_cases[:1]
