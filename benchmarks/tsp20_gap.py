@@ -180,11 +180,21 @@ def ship_model(test_set):
 
     dst = ROOT / "models" / "tsp20"
     dst.mkdir(parents=True, exist_ok=True)
-    for f in ("checkpoint_best_val.npz", "checkpoint_final.npz", "params.json"):
+    for f in ("checkpoint_best_val.npz", "params.json"):
         src = RUN / "train" / f
         if src.exists():
             shutil.copy2(src, dst / f)
     save_scalers(dst / "scalers.json", test_set.scalers)
+    # dataset + split files in the reference's data/<size>/ layout so the
+    # CLI flow (cli/test.py data/tsp20/test.txt models/tsp20/... ) just works
+    ddir = ROOT / "data" / "tsp20"
+    ddir.mkdir(parents=True, exist_ok=True)
+    shutil.copy2(RUN / "dataset_labeled.npz", ddir / "instances.npz")
+    save_scalers(ddir / "scalers.json", test_set.scalers)
+    np.savetxt(ddir / "train.txt", np.arange(0, N_TRAIN), fmt="%d")
+    np.savetxt(ddir / "test.txt", np.arange(N_TRAIN, N_TRAIN + N_TEST), fmt="%d")
+    np.savetxt(ddir / "val.txt",
+               np.arange(N_TRAIN + N_TEST, N_TRAIN + N_TEST + N_VAL), fmt="%d")
 
 
 def write_results(results):
