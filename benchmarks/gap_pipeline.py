@@ -1,0 +1,260 @@
+"""Parameterized end-to-end gap pipeline: generate -> label -> train -> eval.
+
+Generalization of the tsp20 run (see tsp20_gap.py, which wraps this with its
+original defaults) to any instance size:
+
+  * optima: exact Held-Karp (native C++) for n <= 22, else the large-budget
+    batched GLS oracle — in that regime reported "gaps" are vs best-known,
+    not proven optima (stated in the output);
+  * regret labels: batched TPU GLS forced-edge solves (reference semantics:
+    one LKH run per edge, gnngls/datasets.py:23-34);
+  * training: reference defaults (train.py:74-86);
+  * eval: Pallas fast engine across iteration budgets, regret-guided vs
+    weight-guided.
+
+Stages cache under runs/<name>/ and are resumable.  Usage:
+  python benchmarks/gap_pipeline.py --n 50 --train 500 --test 100 --val 50 \
+      --label-iters 8 --budgets 5,100
+"""
+
+import argparse
+import json
+import pathlib
+import shutil
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+
+class Pipeline:
+    def __init__(self, *, n, n_train, n_test, n_val, label_iters=10,
+                 label_moves=30, budgets=(5, 100), label_chunk=250,
+                 n_epochs=100, name=None, exact_claim=None):
+        self.n = n
+        self.n_train, self.n_test, self.n_val = n_train, n_test, n_val
+        self.n_total = n_train + n_test + n_val
+        self.label_iters, self.label_moves = label_iters, label_moves
+        self.budgets = tuple(budgets)
+        self.label_chunk = label_chunk
+        self.n_epochs = n_epochs
+        self.name = name or f"tsp{n}"
+        self.run = ROOT / "runs" / self.name
+        # n <= 22: native Held-Karp gives proven optima
+        self.exact = (n <= 22) if exact_claim is None else exact_claim
+
+    # -- stages ---------------------------------------------------------
+
+    def stage_generate(self):
+        from gnngls_tpu.data import generate
+
+        path = self.run / "dataset.npz"
+        if path.exists():
+            print("[generate] cached")
+            return generate.load_dataset(path)
+        t0 = time.time()
+        solver = "held_karp" if self.exact else "gls"
+        data = generate.generate_instances(self.n_total, self.n, seed=0,
+                                           solver=solver)
+        generate.save_dataset(path, data)
+        print(f"[generate] {self.n_total} instances ({solver}) "
+              f"in {time.time()-t0:.0f}s")
+        return data
+
+    def stage_labels(self, data):
+        from gnngls_tpu.core.graph import build_topology
+        from gnngls_tpu.data import generate, solvers
+
+        path = self.run / "dataset_labeled.npz"
+        if path.exists():
+            print("[labels] cached")
+            return generate.load_dataset(path)
+
+        topo = build_topology(self.n)
+        Ds = generate.coords_to_distance_matrix(data["coords"]).astype(np.float64)
+        opt = np.asarray(data["opt_cost"], dtype=np.float64)
+        in_sol = np.asarray(data["in_solution"], dtype=bool)
+        N = self.n_total
+
+        regret = np.zeros((N, topo.n_edges), dtype=np.float32)
+        for s in range(0, N, self.label_chunk):
+            part = self.run / f"labels_{s}.npy"
+            e = min(s + self.label_chunk, N)
+            if part.exists():
+                regret[s:e] = np.load(part)
+                continue
+            t0 = time.time()
+            for i in range(s, e):
+                costs, _ = solvers.gls_fixed_edge_costs(
+                    Ds[i], topo.edges, n_iters=self.label_iters,
+                    perturbation_moves=self.label_moves)
+                r = (costs - opt[i]) / opt[i]
+                r[in_sol[i]] = 0.0
+                regret[i] = np.maximum(r, 0.0)
+            np.save(part, regret[s:e])
+            print(f"[labels] {e}/{N} ({(time.time()-t0)/(e-s):.2f}s/inst)")
+
+        data["regret"] = regret
+        generate.save_dataset(path, data)
+        for s in range(0, N, self.label_chunk):
+            (self.run / f"labels_{s}.npy").unlink(missing_ok=True)
+        return data
+
+    def make_splits(self, data):
+        from gnngls_tpu.data.dataset import TSPDataset
+
+        # reference carve order: train, then test, then val (preprocess:29-31)
+        tr = np.arange(0, self.n_train)
+        te = np.arange(self.n_train, self.n_train + self.n_test)
+        va = np.arange(self.n_train + self.n_test, self.n_total)
+        train_set = TSPDataset.from_arrays(data, tr)
+        scalers = train_set.fit_scalers()
+        test_set = TSPDataset.from_arrays(data, te, scalers=scalers)
+        val_set = TSPDataset.from_arrays(data, va, scalers=scalers)
+        return train_set, val_set, test_set
+
+    def stage_train(self, train_set, val_set):
+        import jax
+
+        from gnngls_tpu.models import regret_gat as M
+        from gnngls_tpu.train import checkpoint as ckpt
+        from gnngls_tpu.train.loop import TrainConfig, train_model
+
+        run_dir = self.run / "train"
+        best = run_dir / "checkpoint_best_val.npz"
+        final = run_dir / "checkpoint_final.npz"
+
+        def load_best():
+            tmpl_p, tmpl_b = M.init_params(
+                jax.random.PRNGKey(0),
+                M.RegretGNNConfig(in_dim=train_set.feat_dim))
+            params, bn_state, _, _ = ckpt.load_checkpoint(
+                best if best.exists() else final,
+                params_like=tmpl_p, bn_state_like=tmpl_b)
+            return params, bn_state
+
+        if final.exists():
+            print("[train] cached")
+            return load_best()
+        cfg = TrainConfig(n_epochs=self.n_epochs, val_on_train=False)
+        t0 = time.time()
+        _, _, history = train_model(train_set, val_set, cfg, run_dir)
+        print(f"[train] {len(history)} epochs in {time.time()-t0:.0f}s, "
+              f"final val {history[-1]['val_loss']:.6f}")
+        return load_best()
+
+    def stage_eval(self, test_set, params, bn_state):
+        from gnngls_tpu.evaluate import evaluate
+        from gnngls_tpu.models import regret_gat as M
+
+        cfg = M.RegretGNNConfig(in_dim=test_set.feat_dim)
+        results = {}
+        for n_iters in self.budgets:
+            for label, kw in (
+                ("regret_pred", dict(params=params, bn_state=bn_state,
+                                     model_cfg=cfg, guides=["regret_pred"])),
+                ("weight", dict(guides=["weight"])),
+            ):
+                t0 = time.time()
+                out = evaluate(test_set, time_limit=None, n_iters=n_iters,
+                               perturbation_moves=20, **kw)
+                dt = time.time() - t0
+                init_gap = float(
+                    (out["init_costs"] / out["opt_costs"] - 1).mean() * 100)
+                results[f"{label}@{n_iters}"] = {
+                    "guide": label, "n_iters": n_iters,
+                    "mean_gap_pct": out["mean_gap"],
+                    "p95_gap_pct": float(np.percentile(out["gaps"], 95)),
+                    "frac_optimal": float((out["gaps"] < 1e-4).mean()),
+                    "mean_init_gap_pct": init_gap,
+                    "batch_wall_s": dt,
+                    "wall_s_per_instance": dt / len(test_set),
+                }
+                print(f"[eval] {label}@{n_iters}: mean gap "
+                      f"{out['mean_gap']:.4f}%  ({dt:.1f}s batch)")
+        return results
+
+    def ship(self, test_set):
+        from gnngls_tpu.core.scaler import save_scalers
+
+        dst = ROOT / "models" / self.name
+        dst.mkdir(parents=True, exist_ok=True)
+        for f in ("checkpoint_best_val.npz", "params.json"):
+            src = self.run / "train" / f
+            if src.exists():
+                shutil.copy2(src, dst / f)
+        save_scalers(dst / "scalers.json", test_set.scalers)
+        ddir = ROOT / "data" / self.name
+        ddir.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(self.run / "dataset_labeled.npz", ddir / "instances.npz")
+        save_scalers(ddir / "scalers.json", test_set.scalers)
+        np.savetxt(ddir / "train.txt", np.arange(0, self.n_train), fmt="%d")
+        np.savetxt(ddir / "test.txt",
+                   np.arange(self.n_train, self.n_train + self.n_test), fmt="%d")
+        np.savetxt(ddir / "val.txt",
+                   np.arange(self.n_train + self.n_test, self.n_total), fmt="%d")
+
+    def write_results(self, results):
+        (ROOT / "benchmarks").mkdir(exist_ok=True)
+        with open(ROOT / "benchmarks" / f"RESULTS_{self.name}.json", "w") as f:
+            json.dump(results, f, indent=2)
+        opt_kind = ("exact Held-Karp optima" if self.exact
+                    else "best-known from the large-budget GLS oracle "
+                         "(NOT proven optima)")
+        lines = [
+            f"# {self.name} gap — self-trained model",
+            "",
+            f"{self.n_total} uniform instances; reference solutions = {opt_kind}.",
+            f"Labels: batched TPU GLS forced-edge oracle "
+            f"({self.label_iters} iters).  Model: reference defaults.",
+            f"Eval: {self.n_test} held-out instances, Pallas GLS engine, "
+            "20 perturbation moves/iter; gap vs the reference solution.",
+            "",
+            "| guide | outer iters | mean gap % | p95 gap % | optimal rate "
+            "| init gap % | s/instance |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in results.values():
+            lines.append(
+                f"| {r['guide']} | {r['n_iters']} | {r['mean_gap_pct']:.4f} | "
+                f"{r['p95_gap_pct']:.4f} | {r['frac_optimal']:.3f} | "
+                f"{r['mean_init_gap_pct']:.2f} | "
+                f"{r['wall_s_per_instance']:.4f} |")
+        with open(ROOT / "benchmarks" / f"RESULTS_{self.name}.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def main(self):
+        self.run.mkdir(parents=True, exist_ok=True)
+        data = self.stage_generate()
+        data = self.stage_labels(data)
+        train_set, val_set, test_set = self.make_splits(data)
+        params, bn_state = self.stage_train(train_set, val_set)
+        results = self.stage_eval(test_set, params, bn_state)
+        self.ship(test_set)
+        self.write_results(results)
+        print(json.dumps(results, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, required=True)
+    ap.add_argument("--train", type=int, default=500)
+    ap.add_argument("--test", type=int, default=100)
+    ap.add_argument("--val", type=int, default=50)
+    ap.add_argument("--label-iters", type=int, default=10)
+    ap.add_argument("--label-moves", type=int, default=30)
+    ap.add_argument("--budgets", type=str, default="5,100")
+    ap.add_argument("--epochs", type=int, default=100)
+    args = ap.parse_args(argv)
+    Pipeline(n=args.n, n_train=args.train, n_test=args.test, n_val=args.val,
+             label_iters=args.label_iters, label_moves=args.label_moves,
+             budgets=tuple(int(b) for b in args.budgets.split(",")),
+             n_epochs=args.epochs).main()
+
+
+if __name__ == "__main__":
+    main()

@@ -125,7 +125,9 @@ def gat_conv_chunked(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     """
     n = topo.n
     if n % city_chunk != 0:
-        raise ValueError(f"n={n} must be divisible by city_chunk={city_chunk}")
+        # largest divisor of n not exceeding the request (deterministic, so
+        # jit caching is stable for a given n)
+        city_chunk = max(c for c in range(1, city_chunk + 1) if n % c == 0)
     h, el, er = _project(params, x, n_heads)  # (..., E, H, F), (..., E, H)
     H = n_heads
     F = h.shape[-1]
