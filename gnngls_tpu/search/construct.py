@@ -26,13 +26,18 @@ def nearest_neighbor(W: jax.Array, depot) -> jax.Array:
     n = W.shape[0]
     depot = jnp.asarray(depot, jnp.int32)
 
+    iota = jnp.arange(n, dtype=jnp.int32)
+
     def step(carry, _):
         cur, visited = carry
         row = jnp.where(visited, jnp.inf, W[cur])
         nxt = jnp.argmin(row).astype(jnp.int32)
-        return (nxt, visited.at[nxt].set(True)), nxt
+        # one-hot OR instead of visited.at[nxt].set(True): batched bool
+        # scatters inside scan miscompile on TPU at vmap widths >= ~1024
+        # (observed: visited stops updating -> repeated cities)
+        return (nxt, visited | (iota == nxt)), nxt
 
-    visited = jnp.zeros((n,), bool).at[depot].set(True)
+    visited = iota == depot
     (_, _), order = jax.lax.scan(step, (depot, visited), None, length=n - 1)
     return jnp.concatenate([depot[None], order, depot[None]])
 
@@ -60,9 +65,9 @@ def probabilistic_nearest_neighbour(key, W: jax.Array, depot, invert: bool = Tru
             p = 1.0 / p
         logits = jnp.where(visited, -jnp.inf, jnp.log(p))
         nxt = jax.random.categorical(k, logits).astype(jnp.int32)
-        return (nxt, visited.at[nxt].set(True)), nxt
+        return (nxt, visited | (jnp.arange(n) == nxt)), nxt
 
-    visited = jnp.zeros((n,), bool).at[depot].set(True)
+    visited = jnp.arange(n) == depot
     keys = jax.random.split(key, n - 1)
     (_, _), order = jax.lax.scan(step, (depot, visited), keys)
     return jnp.concatenate([depot[None], order, depot[None]])

@@ -112,3 +112,22 @@ def test_gat_bf16_mode_close_to_f32():
     err = np.abs(np.asarray(y_fast) - np.asarray(y_exact))
     scale = np.abs(np.asarray(y_exact)).mean() + 1e-6
     assert (err / scale).max() < 5e-2
+
+
+def test_nearest_neighbor_wide_batch_valid():
+    """TPU miscompile regression: batched bool scatters inside scan corrupt
+    the visited mask at vmap widths >= ~1024 (invalid repeated-city tours).
+    nearest_neighbor now uses a one-hot OR; tours must be valid permutations
+    at wide batch on every backend."""
+    from gnngls_tpu.search import batched
+
+    n, B = 12, 1300
+    rng = np.random.default_rng(0)
+    pos = rng.random((B, n, 2))
+    Ds = jnp.asarray(np.linalg.norm(pos[:, :, None] - pos[:, None, :],
+                                    axis=-1).astype(np.float32))
+    tours = np.asarray(batched.nearest_neighbor_batch(Ds))
+    assert tours.shape == (B, n + 1)
+    srt = np.sort(tours[:, :-1], axis=1)
+    assert (srt == np.arange(n)).all() and (tours[:, 0] == 0).all() \
+        and (tours[:, -1] == 0).all()
