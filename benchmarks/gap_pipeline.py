@@ -89,9 +89,17 @@ class Pipeline:
                 continue
             t0 = time.time()
             for i in range(s, e):
-                costs, _ = solvers.gls_fixed_edge_costs(
+                costs, used = solvers.gls_fixed_edge_costs(
                     Ds[i], topo.edges, n_iters=self.label_iters,
                     perturbation_moves=self.label_moves)
+                if not used.all():
+                    # forced edge dropped (should not happen with big-M
+                    # forcing and valid tours): the returned cost is the
+                    # unforced cost + M, a wild over-estimate — clamp to the
+                    # worst honest forced cost instead
+                    print(f"[labels] warn: instance {i}: "
+                          f"{int((~used).sum())} forced edges dropped")
+                    costs[~used] = costs[used].max()
                 r = (costs - opt[i]) / opt[i]
                 r[in_sol[i]] = 0.0
                 regret[i] = np.maximum(r, 0.0)

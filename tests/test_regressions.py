@@ -131,3 +131,12 @@ def test_nearest_neighbor_wide_batch_valid():
     srt = np.sort(tours[:, :-1], axis=1)
     assert (srt == np.arange(n)).all() and (tours[:, 0] == 0).all() \
         and (tours[:, -1] == 0).all()
+
+
+def test_device_trace_writes_profile(tmp_path):
+    from gnngls_tpu.utils.profiling import annotate, device_trace, step_annotation
+
+    with device_trace(tmp_path):
+        with annotate("gls-chunk"), step_annotation("step", 0):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    assert any(tmp_path.rglob("*.pb")) or any(tmp_path.rglob("*.json.gz"))
