@@ -150,7 +150,7 @@ def gls_oracle(Ds: np.ndarray, *, n_iters: int = 25, perturbation_moves: int = 3
 
 
 def gls_fixed_edge_costs(D: np.ndarray, edges: np.ndarray, *, n_iters: int = 10,
-                         perturbation_moves: int = 30
+                         perturbation_moves: int = 30, edge_chunk: int = 1024
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Near-optimal tour cost through each forced edge, one batch per instance.
 
@@ -169,18 +169,32 @@ def gls_fixed_edge_costs(D: np.ndarray, edges: np.ndarray, *, n_iters: int = 10,
     n = D.shape[0]
     M = float(D.sum() + 1.0)
     E = edges.shape[0]
-    D2 = np.broadcast_to(D, (E,) + D.shape).copy()
-    D2[np.arange(E), edges[:, 0], edges[:, 1]] -= M
-    D2[np.arange(E), edges[:, 1], edges[:, 0]] -= M
 
+    # Solve in fixed-width chunks (pad the tail by repeating edge 0): one
+    # compiled width regardless of E, bounded device memory — a single
+    # E-wide batch at n=100 (4950 problems) overruns HBM and kills the
+    # worker; chunking also stays under wide-vmap miscompile territory.
+    width = min(edge_chunk, E)
     solver = _fixed_edge_solver(n, n_iters, perturbation_moves)
-    costs, tours = solver(jnp.asarray(D2, dtype=jnp.float32),
-                          jnp.asarray(D, dtype=jnp.float32))
-    tours = np.asarray(tours)
-    a, b = tours[:, :-1], tours[:, 1:]
-    used = (((a == edges[:, :1]) & (b == edges[:, 1:2]))
-            | ((a == edges[:, 1:2]) & (b == edges[:, :1]))).any(axis=1)
-    return np.asarray(costs, dtype=np.float64) + M, used
+    Dj = jnp.asarray(D, dtype=jnp.float32)
+
+    costs = np.empty((E,), dtype=np.float64)
+    used = np.empty((E,), dtype=bool)
+    for s in range(0, E, width):
+        idx = np.arange(s, min(s + width, E))
+        pad = np.concatenate([idx, np.zeros(width - len(idx), dtype=np.int64)])
+        ce = edges[pad]
+        D2 = np.broadcast_to(D, (width,) + D.shape).copy()
+        D2[np.arange(width), ce[:, 0], ce[:, 1]] -= M
+        D2[np.arange(width), ce[:, 1], ce[:, 0]] -= M
+        c, t = solver(jnp.asarray(D2, dtype=jnp.float32), Dj)
+        t = np.asarray(t)[: len(idx)]
+        a, b = t[:, :-1], t[:, 1:]
+        ce = ce[: len(idx)]
+        used[idx] = (((a == ce[:, :1]) & (b == ce[:, 1:2]))
+                     | ((a == ce[:, 1:2]) & (b == ce[:, :1]))).any(axis=1)
+        costs[idx] = np.asarray(c, dtype=np.float64)[: len(idx)] + M
+    return costs, used
 
 
 # ---------------------------------------------------------------------------
