@@ -99,7 +99,13 @@ class Pipeline:
                     # worst honest forced cost instead
                     print(f"[labels] warn: instance {i}: "
                           f"{int((~used).sum())} forced edges dropped")
-                    costs[~used] = costs[used].max()
+                    if used.any():
+                        costs[~used] = costs[used].max()
+                    else:
+                        # every forced edge dropped: no honest forced cost
+                        # exists — fall back to the unforced tour cost so the
+                        # regret degenerates to ~0 instead of crashing the run
+                        costs[:] = opt[i]
                 r = (costs - opt[i]) / opt[i]
                 r[in_sol[i]] = 0.0
                 regret[i] = np.maximum(r, 0.0)

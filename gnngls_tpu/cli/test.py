@@ -27,7 +27,10 @@ def main(argv=None):
                         choices=("auto", "xla", "pallas"),
                         help="search engine: pallas = whole-GLS VMEM kernel "
                              "(fast mode, needs --n_iters)")
-    parser.add_argument("--use_gpu", action="store_true")
+    parser.add_argument("--use_gpu", action="store_true",
+                        help="accepted for reference-CLI interop; a no-op "
+                             "here — JAX always uses the default backend "
+                             "(TPU when present)")
     parser.add_argument("--batch_size", type=int, default=64)
     args = parser.parse_args(argv)
 

@@ -27,7 +27,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint_freq", type=int, default=None)
     parser.add_argument("--target", type=str, default="regret",
                         choices=["regret", "in_solution"])
-    parser.add_argument("--use_gpu", action="store_true")
+    parser.add_argument("--use_gpu", action="store_true",
+                        help="accepted for reference-CLI interop; a no-op "
+                             "here — JAX always uses the default backend "
+                             "(TPU when present)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--strict_val", action="store_true",
                         help="monitor the real val set instead of the "

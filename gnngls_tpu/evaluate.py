@@ -61,9 +61,16 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
              engine: str = "auto") -> dict:
     """Evaluate GLS (optionally model-guided) over a dataset.
 
-    Either `time_limit` (reference wall-clock protocol, applied to the whole
-    batched run) or `n_iters` (deterministic fixed budget) must be set;
-    n_iters takes precedence when given.
+    Either `time_limit` or `n_iters` (deterministic fixed budget) must be
+    set; n_iters takes precedence when given.
+
+    ⚠ `time_limit` semantics differ from the reference: the reference gives
+    each instance `time_limit` seconds of one CPU thread (test.py:26-27,95);
+    here ONE deadline applies to the whole vmapped batch, so all instances
+    share the budget concurrently.  For a like-for-like "10 s protocol"
+    comparison use `n_iters` calibrated via
+    `gnngls_tpu.evaluate.calibrate_protocol_iters` (see benchmarks/), or
+    batch_size=1.
 
     engine: "xla" (vmapped lax engine, per-move traces, exact reference
     trajectories), "pallas" (whole-search VMEM kernel, ~4x faster, single
@@ -132,6 +139,15 @@ def search_progress_records(dataset: TSPDataset, out: dict,
     names = instance_names or [f"instance_{i}" for i in range(len(dataset))]
     rows = []
     times = res.chunk_times
+    cap = res.trace_costs.shape[1]
+    n_over = int(np.sum(np.asarray(res.trace_n) > cap))
+    if n_over:
+        import warnings
+        warnings.warn(
+            f"search trace buffer saturated for {n_over} instance(s) "
+            f"(cap={cap}): moves beyond the cap overwrote the last slot and "
+            f"the progress DataFrame under-reports them — raise trace_cap "
+            f"for full reference-fidelity traces", stacklevel=2)
     for b in range(len(dataset)):
         n_tr = int(min(res.trace_n[b], res.trace_costs.shape[1]))
         cum = res.chunk_moves[b]

@@ -23,7 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.graph import LineGraphTopology
@@ -56,7 +56,7 @@ def gat_conv_sharded(params: GATParams, topo: LineGraphTopology, x: jax.Array,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(),
-        check_rep=False,  # outputs ARE replicated (post-all_gather combine),
+        check_vma=False,  # outputs ARE replicated (post-all_gather combine),
                           # but that can't be statically inferred past axis_index
     )
     def run(h, el, er):

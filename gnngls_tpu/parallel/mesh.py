@@ -18,7 +18,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axes: Sequence[str] = ("data",)) -> Mesh:
+              axes: Sequence[str] = ("data",),
+              model_axis_size: Optional[int] = None) -> Mesh:
+    """Single-process mesh over the first `n_devices` devices.
+
+    For 2-axis meshes the second axis gets `model_axis_size` devices
+    (default: the largest power of two ≤ sqrt(n), i.e. a balanced split);
+    the first axis takes the rest.  Multi-host layouts belong to
+    multihost.make_host_mesh, which additionally guarantees ICI locality.
+    """
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -26,8 +34,13 @@ def make_mesh(n_devices: Optional[int] = None,
     if len(axes) == 1:
         shape = (n,)
     elif len(axes) == 2:
-        # favor data axis; model axis gets any power-of-two remainder
-        model = 1
+        model = model_axis_size
+        if model is None:
+            model = 1
+            while n % (model * 2) == 0 and (model * 2) ** 2 <= n:
+                model *= 2
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
         shape = (n // model, model)
     else:
         raise ValueError("1 or 2 mesh axes supported")

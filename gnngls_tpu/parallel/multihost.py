@@ -21,6 +21,7 @@ paths run unchanged, which is what the test suite and the driver's
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -29,25 +30,56 @@ from jax.sharding import Mesh
 
 _initialized = False
 
+# Environment signals that indicate a multi-process launch.  Checked WITHOUT
+# touching any JAX device API: jax.distributed.initialize must run before the
+# local backend is instantiated (jax.devices()/process_count() would
+# instantiate it and make the later initialize() raise).
+_MULTIPROC_ENV = (
+    "JAX_COORDINATOR_ADDRESS",      # explicit jax.distributed config
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_STEP_NODELIST",          # Slurm multi-node step
+)
+
+
+def _multiproc_env_signal() -> bool:
+    if any(os.environ.get(k) for k in _MULTIPROC_ENV):
+        return True
+    # GCE TPU pod metadata lists every worker; a single entry (e.g. the
+    # 'localhost' a single-chip tunnel sets) is NOT a multi-process launch.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([w for w in workers.split(",") if w.strip()]) > 1
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Bring up the multi-host runtime (idempotent; no-op single-process).
 
-    With no arguments, auto-detects the environment (TPU pod metadata or
-    JAX_COORDINATOR_ADDRESS et al.), matching jax.distributed semantics.
+    Must be called before any JAX device API (jax.devices(),
+    jax.process_count(), array creation): jax.distributed.initialize refuses
+    to run once the local backend exists.  Decides whether to initialize from
+    explicit arguments or environment signals only — no JAX calls are made on
+    the single-process path, so importing this module and calling
+    ``initialize()`` is always safe.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized:
+        return
+    explicit = coordinator_address is not None or num_processes is not None
+    env_signal = _multiproc_env_signal()
+    if not explicit and not env_signal:
+        # single process with no coordinator configured: nothing to do, and
+        # we deliberately avoid instantiating the backend here
         _initialized = True
         return
-    if coordinator_address is None and num_processes is None:
-        # single process with no coordinator configured: nothing to do
-        return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    if explicit:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        # no-arg auto-detect (TPU pod / Slurm); safe per jax.distributed docs
+        jax.distributed.initialize()
     _initialized = True
 
 
@@ -65,7 +97,12 @@ def make_host_mesh(model_axis_size: int = 1,
     if n % model_axis_size != 0:
         raise ValueError(f"{n} devices not divisible by model={model_axis_size}")
     per_host = n // jax.process_count()
-    if model_axis_size > per_host and model_axis_size % per_host != 0:
+    # The documented layout guarantee (model groups never straddle hosts, so
+    # the per-layer all_gathers ride ICI, not DCN) holds iff each host's
+    # device block tiles exactly into model groups — or one model group spans
+    # a whole number of hosts (the multi-host-model case).
+    if not (per_host % model_axis_size == 0 or
+            (model_axis_size > per_host and model_axis_size % per_host == 0)):
         raise ValueError(
             f"model axis {model_axis_size} would straddle hosts unevenly "
             f"({per_host} devices/host)")

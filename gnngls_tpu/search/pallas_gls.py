@@ -379,6 +379,12 @@ def gls_pallas(Ds, guides, init_tours, *, n_iters: int,
 
     Ds, guides: (B, n, n) f32; init_tours: (B, n+1) int32.
     Returns (best_tours (B, n+1) i32, best_costs (B,) f32, moves (B,) f32).
+
+    Note: the per-instance accepted-move counter accumulates in an f32 lane
+    of the packed output row, so it is integer-exact only up to 2**24
+    (~16.7M moves/instance).  A single GLS run is bounded well below that
+    (n_iters * (10n + 6*perturbation_moves) accepts at the theoretical max);
+    callers aggregating across runs should sum per-run counters host-side.
     """
     B, n, _ = Ds.shape
     nt = n + 1
