@@ -197,6 +197,115 @@ def gls_fixed_edge_costs(D: np.ndarray, edges: np.ndarray, *, n_iters: int = 10,
     return costs, used
 
 
+@functools.lru_cache(maxsize=32)
+def _warm_forced_solver(n: int, n_gls_iters: int, perturbation_moves: int):
+    """Compiled warm-start forced-edge solver, cached per (n, budget).
+
+    Each lane solves one forced-edge problem: splice the edge into the
+    best-known tour (one relocate), big-M reduce D so no improving move can
+    ever drop the edge, then descend (local_search) and optionally run a few
+    GLS iterations to escape the local minimum.  Starting near the
+    constrained optimum makes each solve ~30-50x cheaper than the from-scratch
+    GLS oracle while being *stronger* (the reference's per-edge LKH also
+    starts from scratch, gnngls/datasets.py:30).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..search import local_search as ls
+
+    mv = ls.mv
+
+    def splice(tour, u, v):
+        # Make (u, v) adjacent in `tour` by relocating v next to u (or next to
+        # the depot when u == 0).  Canonical edges have u < v, so v != 0.
+        a, b = tour[:-1], tour[1:]
+        contained = (((a == u) & (b == v)) | ((a == v) & (b == u))).any()
+        pos_u = jnp.argmax(tour[:-1] == u).astype(jnp.int32)
+        pos_v = jnp.argmax(tour[:-1] == v).astype(jnp.int32)
+        # relocate semantics: pop position i, insert at j (the popped list's
+        # index).  v lands right after u either way.
+        j = jnp.where(u == 0, 1,
+                      jnp.where(pos_v > pos_u, pos_u + 1, pos_u))
+        return jnp.where(contained, tour, mv.apply_relocate(tour, pos_v, j))
+
+    def run(D, M, edges, best_tour):
+        def solve(e):
+            u, v = e[0], e[1]
+            warm = splice(best_tour, u, v)
+            eu = jax.nn.one_hot(u, n, dtype=D.dtype)
+            ev = jax.nn.one_hot(v, n, dtype=D.dtype)
+            D2 = D - M * (jnp.outer(eu, ev) + jnp.outer(ev, eu))
+            cost0 = mv.tour_cost(D2, warm)
+            res = ls.local_search(warm, cost0, D2, ls.make_trace(8))
+            tour, cost = res.tour, res.cost
+            if n_gls_iters > 0:
+                k = 0.1 * mv.tour_cost(D, warm) / n
+                state = ls.GLSState(
+                    tour=tour, cost=cost, best_tour=tour, best_cost=cost,
+                    penalties=jnp.zeros_like(D), k=k,
+                    iter_i=jnp.zeros((), jnp.int32), trace=res.trace)
+
+                def body(_, s):
+                    return ls.gls_iteration(
+                        s, D2, D2[None],
+                        perturbation_moves=perturbation_moves)
+
+                state = jax.lax.fori_loop(0, n_gls_iters, body, state)
+                tour = state.best_tour
+            return tour
+
+        return jax.vmap(solve)(edges)
+
+    return jax.jit(run)
+
+
+def warm_fixed_edge_costs(D: np.ndarray, edges: np.ndarray,
+                          best_tour: np.ndarray, *, n_gls_iters: int = 2,
+                          perturbation_moves: int = 20,
+                          edge_chunk: int = 2048
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Near-optimal tour cost through each forced edge, warm-started.
+
+    The production label oracle (reference semantics: one LKH solve per edge,
+    gnngls/datasets.py:23-34).  Unlike :func:`gls_fixed_edge_costs` (GLS from
+    a nearest-neighbor start), each lane starts from the best-known tour with
+    the forced edge spliced in, so solves converge in tens of moves.  Big-M
+    uses n*max(D)+1 (any tour through the edge beats any tour without it;
+    ~40x smaller than sum(D), so far less f32 cancellation noise in move
+    deltas).  Final costs are re-derived from the tours in f64 on the host —
+    M never touches the reported numbers.
+
+    Returns (costs (E,) f64, used (E,) bool, tours (E, n+1) i32).  `used` is
+    guaranteed by construction (warm start contains the edge; dropping it
+    costs +M, never improving) — returned for verification.
+    """
+    import jax.numpy as jnp
+
+    D64 = np.asarray(D, dtype=np.float64)
+    n = D64.shape[0]
+    M = float(n * D64.max() + 1.0)
+    E = edges.shape[0]
+    best_tour = np.asarray(best_tour, dtype=np.int32)
+
+    width = min(edge_chunk, E)
+    solver = _warm_forced_solver(n, n_gls_iters, perturbation_moves)
+    Dj = jnp.asarray(D64, dtype=jnp.float32)
+    btj = jnp.asarray(best_tour)
+
+    tours = np.empty((E, n + 1), dtype=np.int32)
+    for s in range(0, E, width):
+        idx = np.arange(s, min(s + width, E))
+        pad = np.concatenate([idx, np.zeros(width - len(idx), dtype=np.int64)])
+        t = solver(Dj, jnp.float32(M), jnp.asarray(edges[pad], jnp.int32), btj)
+        tours[idx] = np.asarray(t)[: len(idx)]
+    a, b = tours[:, :-1], tours[:, 1:]
+    costs = D64[a, b].sum(axis=1)
+    eu, ev = edges[:, :1], edges[:, 1:2]
+    used = (((a == eu) & (b == ev)) | ((a == ev) & (b == eu))).any(axis=1)
+    return costs, used, tours
+
+
 # ---------------------------------------------------------------------------
 # External C solvers (used when available; reference fidelity)
 
