@@ -198,7 +198,8 @@ def gls_fixed_edge_costs(D: np.ndarray, edges: np.ndarray, *, n_iters: int = 10,
 
 
 @functools.lru_cache(maxsize=32)
-def _warm_forced_solver(n: int, n_gls_iters: int, perturbation_moves: int):
+def _warm_forced_solver(n: int, n_gls_iters: int, perturbation_moves: int,
+                        dual_splice: bool = False):
     """Compiled warm-start forced-edge solver, cached per (n, budget).
 
     Each lane solves one forced-edge problem: splice the edge into the
@@ -208,6 +209,10 @@ def _warm_forced_solver(n: int, n_gls_iters: int, perturbation_moves: int):
     constrained optimum makes each solve ~30-50x cheaper than the from-scratch
     GLS oracle while being *stronger* (the reference's per-edge LKH also
     starts from scratch, gnngls/datasets.py:30).
+
+    dual_splice: also search from the v-BEFORE-u splice and keep the better
+    result (2x work).  The two splices land in different local-search basins;
+    the min fixes the rare stubborn edge where one basin is ~2% off.
     """
     import jax
     import jax.numpy as jnp
@@ -216,43 +221,57 @@ def _warm_forced_solver(n: int, n_gls_iters: int, perturbation_moves: int):
 
     mv = ls.mv
 
-    def splice(tour, u, v):
-        # Make (u, v) adjacent in `tour` by relocating v next to u (or next to
-        # the depot when u == 0).  Canonical edges have u < v, so v != 0.
+    def splice(tour, u, v, before):
+        # Make (u, v) adjacent in `tour` by relocating v next to u (after u,
+        # or before u when `before`).  Canonical edges have u < v, so v != 0;
+        # u may be the depot, which never moves.
         a, b = tour[:-1], tour[1:]
         contained = (((a == u) & (b == v)) | ((a == v) & (b == u))).any()
         pos_u = jnp.argmax(tour[:-1] == u).astype(jnp.int32)
         pos_v = jnp.argmax(tour[:-1] == v).astype(jnp.int32)
-        # relocate semantics: pop position i, insert at j (the popped list's
-        # index).  v lands right after u either way.
-        j = jnp.where(u == 0, 1,
-                      jnp.where(pos_v > pos_u, pos_u + 1, pos_u))
+        # relocate semantics: pop position pos_v, element lands at final
+        # index j (see moves.apply_relocate).
+        if before:
+            # v immediately before u (for u == 0: before the closing depot)
+            j = jnp.where(u == 0, tour.shape[0] - 2,
+                          jnp.where(pos_v > pos_u, pos_u, pos_u - 1))
+        else:
+            # v immediately after u
+            j = jnp.where(u == 0, 1,
+                          jnp.where(pos_v > pos_u, pos_u + 1, pos_u))
         return jnp.where(contained, tour, mv.apply_relocate(tour, pos_v, j))
 
     def run(D, M, edges, best_tour):
         def solve(e):
             u, v = e[0], e[1]
-            warm = splice(best_tour, u, v)
             eu = jax.nn.one_hot(u, n, dtype=D.dtype)
             ev = jax.nn.one_hot(v, n, dtype=D.dtype)
             D2 = D - M * (jnp.outer(eu, ev) + jnp.outer(ev, eu))
-            cost0 = mv.tour_cost(D2, warm)
-            res = ls.local_search(warm, cost0, D2, ls.make_trace(8))
-            tour, cost = res.tour, res.cost
-            if n_gls_iters > 0:
-                k = 0.1 * mv.tour_cost(D, warm) / n
-                state = ls.GLSState(
-                    tour=tour, cost=cost, best_tour=tour, best_cost=cost,
-                    penalties=jnp.zeros_like(D), k=k,
-                    iter_i=jnp.zeros((), jnp.int32), trace=res.trace)
+            k = 0.1 * mv.tour_cost(D, best_tour) / n
 
-                def body(_, s):
-                    return ls.gls_iteration(
-                        s, D2, D2[None],
-                        perturbation_moves=perturbation_moves)
+            def search_from(warm):
+                cost0 = mv.tour_cost(D2, warm)
+                res = ls.local_search(warm, cost0, D2, ls.make_trace(8))
+                tour, cost = res.tour, res.cost
+                if n_gls_iters > 0:
+                    state = ls.GLSState(
+                        tour=tour, cost=cost, best_tour=tour, best_cost=cost,
+                        penalties=jnp.zeros_like(D), k=k,
+                        iter_i=jnp.zeros((), jnp.int32), trace=res.trace)
 
-                state = jax.lax.fori_loop(0, n_gls_iters, body, state)
-                tour = state.best_tour
+                    def body(_, s):
+                        return ls.gls_iteration(
+                            s, D2, D2[None],
+                            perturbation_moves=perturbation_moves)
+
+                    state = jax.lax.fori_loop(0, n_gls_iters, body, state)
+                    tour, cost = state.best_tour, state.best_cost
+                return tour, cost
+
+            tour, cost = search_from(splice(best_tour, u, v, before=False))
+            if dual_splice:
+                tour2, cost2 = search_from(splice(best_tour, u, v, before=True))
+                tour = jnp.where(cost2 < cost, tour2, tour)
             return tour
 
         return jax.vmap(solve)(edges)
@@ -263,7 +282,7 @@ def _warm_forced_solver(n: int, n_gls_iters: int, perturbation_moves: int):
 def warm_fixed_edge_costs(D: np.ndarray, edges: np.ndarray,
                           best_tour: np.ndarray, *, n_gls_iters: int = 2,
                           perturbation_moves: int = 20,
-                          edge_chunk: int = 2048
+                          edge_chunk: int = 2048, dual_splice: bool = False
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Near-optimal tour cost through each forced edge, warm-started.
 
@@ -289,7 +308,8 @@ def warm_fixed_edge_costs(D: np.ndarray, edges: np.ndarray,
     best_tour = np.asarray(best_tour, dtype=np.int32)
 
     width = min(edge_chunk, E)
-    solver = _warm_forced_solver(n, n_gls_iters, perturbation_moves)
+    solver = _warm_forced_solver(n, n_gls_iters, perturbation_moves,
+                                 dual_splice)
     Dj = jnp.asarray(D64, dtype=jnp.float32)
     btj = jnp.asarray(best_tour)
 
