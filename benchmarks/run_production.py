@@ -1,0 +1,42 @@
+"""Production-scale gap pipelines (VERDICT round-1 item 1).
+
+Runs the full generate -> label -> train -> eval pipeline at production
+scale for tsp100 (flagship), then tsp50, then tsp20, sequentially in one
+process (the remote TPU session is single-client).  Every stage is
+resumable: killing this script and re-running it resumes at the last
+completed chunk/stage.
+
+Scale rationale: the reference trains on 100,000 instances with per-edge
+LKH labels (scripts/preprocess_dataset.py:17-19, gnngls/datasets.py:30) —
+days of CPU.  The warm-start forced-edge oracle (data/solvers.py) brings
+labels to ~1.4 s/instance at n=100 on one v5e chip, making a same-session
+multi-thousand-instance run feasible; sizes below are chosen to fit one
+session while test sets stay at the reference's 1000 (500 for tsp100).
+"""
+
+import sys
+
+from gap_pipeline import Pipeline
+
+PIPELINES = [
+    dict(n=100, n_train=2000, n_val=200, n_test=500,
+         budgets=(5, 100), opt_iters=100),
+    dict(n=50, n_train=4000, n_val=400, n_test=1000,
+         budgets=(5, 100), opt_iters=100),
+    dict(n=20, n_train=10000, n_val=500, n_test=1000,
+         budgets=(5, 100), opt_iters=100),
+]
+
+
+def main():
+    only = [int(a) for a in sys.argv[1:]] or None
+    for kw in PIPELINES:
+        if only and kw["n"] not in only:
+            continue
+        print(f"=== tsp{kw['n']} production run ===", flush=True)
+        Pipeline(label_oracle="warm", warm_gls_iters=0, dual_splice=True,
+                 **kw).main()
+
+
+if __name__ == "__main__":
+    main()

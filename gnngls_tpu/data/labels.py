@@ -26,6 +26,84 @@ def edge_features(coords: np.ndarray) -> np.ndarray:
     return w[..., None].astype(np.float32)
 
 
+def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
+                        warm_gls_iters: int = 0, dual_splice: bool = True,
+                        perturbation_moves: int = 20,
+                        verbose: bool = False) -> dict:
+    """Production regret labels: warm-start forced-edge oracle, crash-resumable.
+
+    Per instance, every forced-edge problem is solved warm-started from the
+    best-known tour (solvers.warm_fixed_edge_costs); whenever a forced-edge
+    tour beats the best-known, it REFINES the best-known and all regrets for
+    that instance are measured against the refined optimum.  Reference
+    semantics: one LKH solve per edge, regret = (forced_cost - opt)/opt, 0
+    for solution edges (gnngls/datasets.py:23-34).
+
+    Shards of `chunk` instances are written to `shard_dir` as labels_<s>.npz
+    (atomic rename); on restart completed shards are skipped — parity with
+    the reference's per-instance pickle resumability
+    (scripts/generate_instances.py:57).
+
+    Updates data's regret/opt_tour/opt_cost/in_solution in place and returns it.
+    """
+    import pathlib
+    import tempfile
+    import time
+
+    from ..utils import tour_to_edge_vector
+    from . import solvers
+
+    if shard_dir is None:  # no resumability requested
+        shard_dir = tempfile.mkdtemp(prefix="warm_labels_")
+    shard_dir = pathlib.Path(shard_dir)
+    shard_dir.mkdir(parents=True, exist_ok=True)
+    coords = data["coords"]
+    N, n, _ = coords.shape
+    topo = build_topology(n)
+    Ds = coords_to_distance_matrix(coords).astype(np.float64)
+
+    regret = np.zeros((N, topo.n_edges), dtype=np.float32)
+    opt_tour = np.asarray(data["opt_tour"], dtype=np.int32).copy()
+    opt = Ds[np.arange(N)[:, None], opt_tour[:, :-1], opt_tour[:, 1:]].sum(-1)
+
+    for s in range(0, N, chunk):
+        part = shard_dir / f"labels_{s:08d}.npz"
+        e = min(s + chunk, N)
+        if part.exists():
+            with np.load(part) as z:
+                regret[s:e] = z["regret"]
+                opt_tour[s:e] = z["opt_tour"]
+                opt[s:e] = z["opt_cost"]
+            continue
+        t0 = time.time()
+        for i in range(s, e):
+            costs, used, tours = solvers.warm_fixed_edge_costs(
+                Ds[i], topo.edges, opt_tour[i], n_gls_iters=warm_gls_iters,
+                perturbation_moves=perturbation_moves,
+                dual_splice=dual_splice, edge_chunk=8192)
+            j = int(costs.argmin())
+            if costs[j] < opt[i] - 1e-9:
+                opt[i] = costs[j]
+                opt_tour[i] = tours[j]
+            r = (costs - opt[i]) / opt[i]
+            r[tour_to_edge_vector(n, opt_tour[i])] = 0.0
+            regret[i] = np.maximum(r, 0.0)
+        tmp = part.with_suffix(".tmp.npz")
+        np.savez(tmp, regret=regret[s:e], opt_tour=opt_tour[s:e],
+                 opt_cost=opt[s:e])
+        tmp.rename(part)
+        if verbose:
+            print(f"[labels] {e}/{N} ({(time.time()-t0)/(e-s):.2f}s/inst)",
+                  flush=True)
+
+    data["regret"] = regret
+    data["opt_tour"] = opt_tour
+    data["opt_cost"] = opt
+    data["in_solution"] = np.stack(
+        [tour_to_edge_vector(n, t) for t in opt_tour])
+    return data
+
+
 def compute_regret(data: dict, *, method: str = "auto", n_iters: int = 10,
                    perturbation_moves: int = 30, verbose: bool = False) -> np.ndarray:
     """Per-edge regret labels for a generated dataset dict.
@@ -47,12 +125,16 @@ def compute_regret(data: dict, *, method: str = "auto", n_iters: int = 10,
 
         if solvers.has_lkh():
             method = "lkh"
-        elif native_oracle.available():
+        elif native_oracle.available() and n <= 22:
             method = "native"
         elif n <= solvers.HELD_KARP_MAX_N:
             method = "held_karp"
         else:
-            method = "gls"
+            method = "warm"
+
+    if method == "warm":
+        warm_labels_chunked(data, None, verbose=verbose)
+        return data["regret"]
 
     regret = np.zeros((N, E), dtype=np.float32)
     Ds = coords_to_distance_matrix(coords).astype(np.float64)

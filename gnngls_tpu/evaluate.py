@@ -18,7 +18,7 @@ import datetime
 import pathlib
 import time
 import uuid
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +126,46 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
         "opt_costs": opt,
         "result": result,
     }
+
+
+# Accepted-move throughput of the reference's single-thread Python GLS under
+# its 10 s/instance protocol (test.py:26-27,95), measured on this machine by
+# running the reference search stack verbatim (BASELINE.md methodology):
+# mean accepted moves per instance over 3 seeds, uniform instances,
+# weight-guided, 20 perturbation moves, best-improvement.  (An idle-machine
+# re-measurement, ~1.7x BASELINE.md's loaded-machine numbers — the higher
+# target is the conservative one for us.)
+REFERENCE_10S_MOVES = {20: 32717.0, 50: 7322.0, 100: 1605.0}
+
+
+def calibrate_protocol_iters(dataset: TSPDataset, *, target_moves: float,
+                             probe_budgets: Tuple[int, int] = (5, 25),
+                             max_iters: int = 2000, **eval_kw) -> int:
+    """Map the reference's 10 s/instance protocol to a fixed n_iters budget.
+
+    The reference gives every instance 10 s of single-thread search; the
+    accepted-move count that buys is in REFERENCE_10S_MOVES (measured, see
+    BASELINE.md).  The deterministic TPU engines use fixed outer-iteration
+    budgets instead of wall-clock (SURVEY §7.4), so this probes the
+    accepted-moves-per-instance vs n_iters relationship on `dataset` and
+    returns the smallest n_iters whose mean accepted moves reaches
+    `target_moves` — i.e. a budget at which every instance gets AT LEAST the
+    search work the reference protocol would have given it.
+    """
+    moves = {}
+    for b in probe_budgets:
+        out = evaluate(dataset, n_iters=b, **eval_kw)
+        moves[b] = float(np.mean(out["result"].chunk_moves[:, -1]))
+    b0, b1 = probe_budgets
+    slope = (moves[b1] - moves[b0]) / (b1 - b0)
+    if moves[b1] >= target_moves:
+        # already past the target at the probe; interpolate down
+        if moves[b0] >= target_moves:
+            return b0
+    if slope <= 0:
+        return max_iters  # saturated below target: give the max budget
+    need = int(np.ceil(b0 + (target_moves - moves[b0]) / slope))
+    return int(max(1, min(need, max_iters)))
 
 
 def search_progress_records(dataset: TSPDataset, out: dict,
