@@ -148,6 +148,43 @@ def forward(
     return y, RegretGNNState(new_states)
 
 
+def forward_ring(
+    params: RegretGNNParams,
+    state: RegretGNNState,
+    topo: LineGraphTopology,
+    x: jax.Array,
+    *,
+    n_heads: int,
+    mesh,
+    axis: str = "model",
+    city_chunk: int = 8,
+) -> jax.Array:
+    """Memory-sharded inference forward for large n (tsp500/1000 class).
+
+    x: (..., Ep, in_dim) edge-SHARDED over mesh axis `axis` (pad with
+    ops.gat_ring.ring_pad) -> (..., Ep, out_dim) edge-sharded.  Identical
+    numerics to forward(train=False) on the real edges (padding lanes carry
+    garbage — strip with ring_unpad).
+
+    Every per-edge op (embed, BN with running stats, FFN, decision) stays
+    local to the shard; cross-edge communication happens only inside
+    gat_conv_ring's ppermute rings, so per-device activation memory is
+    ~1/ndev of the single-chip path.  Inference only: training-mode BN would
+    need global batch statistics (psum over real edges) — use the
+    data-parallel training path for that (parallel/train_dp.py).
+    """
+    from ..ops.gat_ring import gat_conv_ring
+
+    h = linear(params.embed, x)
+    for lp, ls in zip(params.layers, state.layers):
+        h = h + gat_conv_ring(lp.gat, topo, h, n_heads, mesh, axis,
+                              city_chunk=city_chunk)
+        h, _ = batch_norm(lp.bn1, ls.bn1, h, False)
+        h = h + linear(lp.ffn2, jax.nn.relu(linear(lp.ffn1, h)))
+        h, _ = batch_norm(lp.bn2, ls.bn2, h, False)
+    return linear(params.decision, h)
+
+
 def make_apply(cfg: RegretGNNConfig, n: int, *, train: bool = False,
                gat_impl: str = "fast"):
     """Close over a static topology; returns fn(params, state, x) -> (y, state)."""

@@ -44,6 +44,30 @@ def test_ring_matches_gat_conv(n, ndev, batch):
     np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_full_model_ring_matches_forward():
+    """Whole-model memory-sharded inference == single-device forward."""
+    from gnngls_tpu.models import regret_gat as M
+
+    n, ndev = 16, 8
+    topo = build_topology(n)
+    cfg = M.RegretGNNConfig(in_dim=1, embed_dim=16, n_heads=4, n_layers=2,
+                            hidden_dim=32, depth_from_heads=False)
+    params, state = M.init_params(jax.random.PRNGKey(2), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (topo.n_edges, 1))
+
+    ref, _ = M.forward(params, state, topo, x, n_heads=cfg.n_heads,
+                       train=False, gat_impl="fast")
+
+    mesh = make_mesh(ndev)
+    xp = gat_ring.ring_pad(x, ndev)
+    xp = jax.device_put(xp, gat_ring.edge_sharding(mesh, xp.ndim))
+    out = jax.jit(lambda a: M.forward_ring(
+        params, state, topo, a, n_heads=cfg.n_heads, mesh=mesh,
+        city_chunk=2))(xp)
+    out = gat_ring.ring_unpad(np.asarray(out), topo.n_edges)
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
 def test_ring_pad_roundtrip():
     E = 120  # n=16 -> not divisible by 7... use ndev=7 to force padding
     x = np.arange(E * 3, dtype=np.float32).reshape(E, 3)
