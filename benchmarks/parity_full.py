@@ -1,0 +1,217 @@
+"""Full-size checkpoint-parity artifact (VERDICT r1 item 8).
+
+Per-layer activation comparison of every GAT implementation against an
+independent float64 NumPy forward that follows the reference's torch/DGL
+conventions EXACTLY, at the shipped architecture (in 1, embed 128, 8 heads
+= depth 8 via the models.py:60 quirk, FFN 512 — 1.19M params) and n=100.
+
+The NumPy side consumes the torch-convention state dict exported by
+models/torch_import.py (the same mapping that ingests reference
+checkpoint_best_val.pt files), so every transpose/reshape in the converter
+is covered at full size — reference math per gnngls/models.py:44-70 and DGL
+0.6.1 GATConv (gather -> LeakyReLU(el[src]+er[dst]) -> softmax over
+in-neighbors -> weighted sum; line graph has no self loops,
+gnngls/datasets.py:56).
+
+The real LFS checkpoints remain unresolved in this mount
+(/root/reference/.gitattributes:1-2, zero-egress container), so allclose
+against the shipped .pt files stays blocked; this artifact is the next-best
+evidence: the converter + every forward path agree with torch-convention
+math at the shipped size.
+
+Usage:  python benchmarks/parity_full.py --impls fast,chunked,naive
+        (merges into benchmarks/PARITY.json, regenerates PARITY.md)
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+
+def numpy_reference_layers(sd, topo, x, n_heads, depth):
+    """f64 torch-convention forward; returns the activation after the embed
+    layer, after each AttentionLayer, and the final output."""
+    E = topo.n_edges
+    H = n_heads
+    nbr = topo.nbr  # (E, K)
+
+    def lin(prefix, h):
+        return h @ sd[f"{prefix}.weight"].T + sd[f"{prefix}.bias"]
+
+    def bn_eval(prefix, h):
+        mean, var = sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"]
+        w, b = sd[f"{prefix}.weight"], sd[f"{prefix}.bias"]
+        return (h - mean) / np.sqrt(var + 1e-5) * w + b
+
+    def gat(mp, h):
+        fc = sd[f"{mp}.message_passing.module.fc.weight"]  # (H*F, C)
+        al = sd[f"{mp}.message_passing.module.attn_l"][0]  # (H, F)
+        ar = sd[f"{mp}.message_passing.module.attn_r"][0]
+        F = fc.shape[0] // H
+        z = (h @ fc.T).reshape(h.shape[:-1] + (H, F))
+        el = (z * al).sum(-1)  # (..., E, H)
+        er = (z * ar).sum(-1)
+        s = el[..., nbr, :] + er[..., :, None, :]  # (..., E, K, H)
+        s = np.where(s > 0, s, 0.2 * s)
+        s = s - s.max(-2, keepdims=True)
+        a = np.exp(s)
+        a = a / a.sum(-2, keepdims=True)
+        o = np.einsum("...ekh,...ekhf->...ehf", a, z[..., nbr, :, :])
+        return o.reshape(o.shape[:-2] + (H * F,))
+
+    acts = []
+    h = lin("embed_layer", x)
+    acts.append(("embed", h.copy()))
+    for i in range(depth):
+        mp = f"message_passing_layers.{i}"
+        h = h + gat(mp, h)
+        h = bn_eval(f"{mp}.feed_forward.0", h)
+        h = h + lin(f"{mp}.feed_forward.1.module.2",
+                    np.maximum(lin(f"{mp}.feed_forward.1.module.0", h), 0))
+        h = bn_eval(f"{mp}.feed_forward.2", h)
+        acts.append((f"layer{i}", h.copy()))
+    acts.append(("decision", lin("decision_layer", h)))
+    return acts
+
+
+def our_layers(params, state, topo, x, n_heads, gat_impl):
+    """Same per-layer taps through our forward paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnngls_tpu.models import regret_gat as M
+    from gnngls_tpu.ops.gat import gat_conv, gat_conv_chunked, gat_conv_naive
+    from gnngls_tpu.ops.linear import linear
+    from gnngls_tpu.ops.norm import batch_norm
+
+    if gat_impl == "pallas":
+        from gnngls_tpu.ops.pallas_gat import gat_conv_pallas as conv
+    elif gat_impl == "naive":
+        conv = gat_conv_naive
+    elif gat_impl == "chunked":
+        conv = gat_conv_chunked
+    elif gat_impl == "bf16":
+        import functools
+
+        conv = functools.partial(gat_conv, fast=True)
+    else:
+        conv = gat_conv
+
+    @jax.jit
+    def run(x):
+        acts = []
+        h = linear(params.embed, x)
+        acts.append(h)
+        for lp, ls in zip(params.layers, state.layers):
+            h = h + conv(lp.gat, topo, h, n_heads)
+            h, _ = batch_norm(lp.bn1, ls.bn1, h, False)
+            h = h + linear(lp.ffn2, jax.nn.relu(linear(lp.ffn1, h)))
+            h, _ = batch_norm(lp.bn2, ls.bn2, h, False)
+            acts.append(h)
+        acts.append(linear(params.decision, h))
+        return acts
+
+    return [np.asarray(a) for a in run(jnp.asarray(x))]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", default="fast,chunked,naive")
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from gnngls_tpu.core.graph import build_topology
+    from gnngls_tpu.models import regret_gat as M, torch_import as ti
+
+    device = jax.default_backend()
+    cfg = M.RegretGNNConfig()  # shipped architecture, 1.19M params
+    topo = build_topology(args.n)
+    params, state = M.init_params(jax.random.PRNGKey(7), cfg)
+    # BN running stats at init are (0, 1); randomize them so the eval-mode
+    # affine is actually exercised
+    import jax.numpy as jnp
+
+    def jitter(s, k):
+        ks = jax.random.split(k, 2)
+        return s._replace(
+            mean=0.1 * jax.random.normal(ks[0], s.mean.shape),
+            var=jnp.exp(0.2 * jax.random.normal(ks[1], s.var.shape)))
+
+    key = jax.random.PRNGKey(8)
+    new_layers = []
+    for ls in state.layers:
+        key, k1, k2 = jax.random.split(key, 3)
+        new_layers.append(type(ls)(bn1=jitter(ls.bn1, k1),
+                                   bn2=jitter(ls.bn2, k2)))
+    state = type(state)(new_layers)
+
+    sd = {k: np.asarray(v, np.float64)
+          for k, v in ti.state_dict_from_params(params, state).items()}
+    x = np.random.default_rng(0).random(
+        (args.batch, topo.n_edges, cfg.in_dim)).astype(np.float32)
+
+    print(f"reference f64 numpy forward (n={args.n}, depth {cfg.depth})...",
+          flush=True)
+    ref = numpy_reference_layers(sd, topo, x.astype(np.float64),
+                                 cfg.n_heads, cfg.depth)
+
+    out_path = ROOT / "benchmarks" / "PARITY.json"
+    results = json.loads(out_path.read_text()) if out_path.exists() else {}
+    for impl in args.impls.split(","):
+        print(f"[{impl}] forward on {device}...", flush=True)
+        ours = our_layers(params, state, topo, x, cfg.n_heads, impl)
+        rows = {}
+        for (name, want), got in zip(ref, ours):
+            err = np.abs(got.astype(np.float64) - want)
+            scale = np.abs(want).mean()
+            rows[name] = {"max_abs_err": float(err.max()),
+                          "mean_abs_err": float(err.mean()),
+                          "rel_to_mean_abs": float(err.max() / scale)}
+        results[f"{impl}@{device}"] = rows
+        print(f"  decision max_abs_err = {rows['decision']['max_abs_err']:.3e}")
+    out_path.write_text(json.dumps(results, indent=2))
+    write_md(results, cfg, args.n)
+
+
+def write_md(results, cfg, n):
+    lines = [
+        "# PARITY — per-layer activation error vs torch-convention reference",
+        "",
+        f"Shipped architecture (in {cfg.in_dim}, embed {cfg.embed_dim}, "
+        f"{cfg.n_heads} heads ⇒ depth {cfg.depth} via the models.py:60 "
+        f"quirk, FFN {cfg.hidden_dim}; 1.19M params) at n={n}.  Reference = "
+        "float64 NumPy forward that consumes the torch-convention state "
+        "dict exported by models/torch_import.py and follows DGL 0.6.1 "
+        "GATConv + torch BN eval math exactly (gnngls/models.py:44-70).  "
+        "Real reference checkpoints are unresolved git-LFS pointers in this "
+        "mount (zero-egress), so .pt allclose stays blocked; this pins the "
+        "converter + every forward path at full size instead.",
+        "",
+        "Max |err| per activation tap (embed -> each AttentionLayer -> "
+        "decision):",
+        "",
+    ]
+    taps = ["embed"] + [f"layer{i}" for i in range(cfg.depth)] + ["decision"]
+    header = "| impl@device | " + " | ".join(taps) + " |"
+    lines += [header, "|" + "---|" * (len(taps) + 1)]
+    for key, rows in sorted(results.items()):
+        cells = " | ".join(f"{rows[t]['max_abs_err']:.1e}" for t in taps
+                           if t in rows)
+        lines.append(f"| {key} | {cells} |")
+    lines += ["", "Generated by benchmarks/parity_full.py (JSON: PARITY.json)."]
+    (ROOT / "benchmarks" / "PARITY.md").write_text("\n".join(lines) + "\n")
+    print("wrote benchmarks/PARITY.md")
+
+
+if __name__ == "__main__":
+    main()
