@@ -1,0 +1,230 @@
+"""North-star performance metrics (BASELINE.json / VERDICT r1 item 3).
+
+Measures and records:
+  * regret-GNN inference edges/s/chip (full model, per gat_impl) with an
+    MFU estimate against v5e peak;
+  * GLS accepted moves/s (Pallas engine) — the bench.py headline;
+  * weak-scaling efficiency on the virtual device mesh (DP train step and
+    sharded GLS, 1 -> 8 devices), the single-chip-era proxy for multi-chip
+    scaling (SURVEY §4.4 test strategy; real multi-chip is unavailable here).
+
+Usage:
+  python benchmarks/north_star.py --part tpu   # on the real chip
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmarks/north_star.py --part scaling
+Results merge into benchmarks/RESULTS_north_star.json + .md.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+V5E_PEAK_BF16 = 197e12  # FLOP/s, one v5e chip
+V5E_PEAK_F32 = 49e12
+
+
+def model_flops_per_edge(cfg, n):
+    """FLOPs per line-graph node (edge) per full-model forward."""
+    K = 2 * (n - 2)
+    HF = cfg.embed_dim
+    per_layer = (
+        2 * HF * HF            # GAT projection
+        + 4 * HF               # el/er dots
+        + 3 * K * cfg.n_heads  # scores + leaky + softmax (vector ops)
+        + 2 * K * HF           # attention-weighted aggregation
+        + 4 * HF * cfg.hidden_dim  # FFN in+out matmuls
+    )
+    return cfg.depth * per_layer + 2 * cfg.in_dim * HF + 2 * HF * cfg.out_dim
+
+
+def bench_inference(n=100, B=128, impls=("fast", "bf16", "pallas"), reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from gnngls_tpu.core.graph import build_topology
+    from gnngls_tpu.models import regret_gat as M
+
+    cfg = M.RegretGNNConfig()
+    topo = build_topology(n)
+    E = topo.n_edges
+    params, state = M.init_params(jax.random.PRNGKey(0), cfg)
+    flops = model_flops_per_edge(cfg, n) * E * B
+    edge_msgs = B * E * 2 * (n - 2) * cfg.depth
+
+    out = {}
+    for impl in impls:
+        try:
+            apply = jax.jit(M.make_apply(cfg, n, gat_impl=impl))
+            xs = [jax.random.uniform(jax.random.PRNGKey(i), (B, E, 1))
+                  for i in range(reps + 1)]
+            y, _ = apply(params, state, xs[0])
+            jax.block_until_ready(y)
+            t0 = time.perf_counter()
+            for x in xs[1:]:
+                y, _ = apply(params, state, x)
+                jax.block_until_ready(y)
+            dt = (time.perf_counter() - t0) / reps
+        except Exception as exc:  # noqa: BLE001 — record per-impl failures
+            out[impl] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
+        peak = V5E_PEAK_BF16 if impl == "bf16" else V5E_PEAK_F32
+        out[impl] = {
+            "n": n, "batch": B, "s_per_forward": dt,
+            "edges_per_s": B * E / dt,
+            "edge_messages_per_s": edge_msgs / dt,
+            "model_flops_per_s": flops / dt,
+            "mfu_vs_v5e_peak": flops / dt / peak,
+        }
+        print(f"[inference {impl}] {dt*1e3:.1f} ms/fwd  "
+              f"{B*E/dt:.3g} edges/s  {edge_msgs/dt:.3g} edge-msgs/s  "
+              f"MFU {flops/dt/peak*100:.1f}%", flush=True)
+    return out
+
+
+def bench_gls(n=100, B=1024, n_iters=5, n_chunks=3):
+    sys.path.insert(0, str(ROOT))
+    import bench
+
+    value, engine = bench.bench_pallas(n, B, n_iters, n_chunks)
+    print(f"[gls {engine}] {value:.0f} accepted moves/s", flush=True)
+    return {"engine": engine, "moves_per_s": value,
+            "vs_reference_cpu": value / bench.BASELINE_MOVES_PER_S}
+
+
+def bench_scaling():
+    """Weak scaling on the virtual mesh: fixed per-device work, 1->8 devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnngls_tpu.core.graph import build_topology
+    from gnngls_tpu.models import regret_gat as M
+    from gnngls_tpu.parallel import eval_shard, mesh as pm, train_dp
+    from gnngls_tpu.search import batched
+    from gnngls_tpu.train.step import TrainState, make_optimizer
+
+    n = 20
+    per_dev = 8
+    topo = build_topology(n)
+    cfg = M.RegretGNNConfig(in_dim=1, embed_dim=32, n_heads=4)
+    params, bn_state = M.init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer()
+
+    rows = {}
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(jax.devices()):
+            break
+        mesh = pm.make_mesh(ndev)
+        B = per_dev * ndev
+        state = TrainState(params, bn_state, optimizer.init(params))
+        train_step, _ = train_dp.make_dp_train_step(cfg, n, optimizer, mesh)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (B, topo.n_edges, 1))
+        y = jax.random.uniform(jax.random.PRNGKey(2), (B, topo.n_edges, 1))
+        sh = train_dp.shard_batch(mesh, {"x": x, "y": y})
+        state2, loss = train_step(state, sh["x"], sh["y"])  # compile
+        jax.block_until_ready(state2)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state2, loss = train_step(state2, sh["x"], sh["y"])
+        jax.block_until_ready(state2)
+        dt_train = (time.perf_counter() - t0) / 5
+
+        rng = np.random.default_rng(0)
+        pos = rng.random((B, n, 2))
+        Ds = np.linalg.norm(pos[:, :, None] - pos[:, None, :],
+                            axis=-1).astype(np.float32)
+        inits = np.asarray(batched.nearest_neighbor_batch(jnp.asarray(Ds)))
+        run = eval_shard.make_sharded_gls(mesh, n_iters=3, perturbation_moves=5)
+        shd = train_dp.shard_batch(mesh, {"D": Ds, "g": Ds[:, None], "t": inits})
+        _, costs, _ = run(shd["D"], shd["g"], shd["t"])  # compile
+        jax.block_until_ready(costs)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, costs, _ = run(shd["D"], shd["g"], shd["t"])
+            jax.block_until_ready(costs)
+        dt_gls = (time.perf_counter() - t0) / 3
+        rows[ndev] = {"batch": B, "train_s_per_step": dt_train,
+                      "gls_s_per_batch": dt_gls}
+        print(f"[scaling {ndev} dev] train {dt_train*1e3:.1f} ms/step "
+              f"gls {dt_gls*1e3:.1f} ms/batch (B={B})", flush=True)
+    base_t, base_g = rows[1]["train_s_per_step"], rows[1]["gls_s_per_batch"]
+    for ndev, r in rows.items():
+        r["train_weak_scaling_eff"] = base_t / r["train_s_per_step"]
+        r["gls_weak_scaling_eff"] = base_g / r["gls_s_per_batch"]
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", choices=("tpu", "scaling"), required=True)
+    args = ap.parse_args(argv)
+
+    path = ROOT / "benchmarks" / "RESULTS_north_star.json"
+    results = json.loads(path.read_text()) if path.exists() else {}
+    if args.part == "tpu":
+        results["inference"] = bench_inference()
+        results["gls"] = bench_gls()
+    else:
+        results["weak_scaling_virtual_mesh"] = bench_scaling()
+    path.write_text(json.dumps(results, indent=2))
+    write_md(results)
+
+
+def write_md(results):
+    lines = ["# North-star metrics (BASELINE.json)", ""]
+    if "inference" in results:
+        lines += [
+            "## Regret-GNN inference, one v5e chip (tsp100, shipped 1.19M-"
+            "param model)",
+            "",
+            "| impl | ms/forward | edges/s | edge-messages/s | MFU |",
+            "|---|---|---|---|---|",
+        ]
+        for impl, r in results["inference"].items():
+            if "error" in r:
+                lines.append(f"| {impl} | — failed: {r['error'][:60]} | | | |")
+            else:
+                lines.append(
+                    f"| {impl} (B={r['batch']}) | {r['s_per_forward']*1e3:.1f} "
+                    f"| {r['edges_per_s']:.3g} | "
+                    f"{r['edge_messages_per_s']:.3g} | "
+                    f"{r['mfu_vs_v5e_peak']*100:.1f}% |")
+        lines.append("")
+    if "gls" in results:
+        g = results["gls"]
+        lines += [
+            f"## GLS search: {g['moves_per_s']:.0f} accepted moves/s "
+            f"({g['engine']} engine) = {g['vs_reference_cpu']:.0f}x the "
+            "reference CPU baseline (BASELINE.md)", ""]
+    if "weak_scaling_virtual_mesh" in results:
+        lines += [
+            "## Weak scaling, virtual 8-device mesh (fixed per-device work)",
+            "",
+            "Host-CPU proxy for multi-chip ICI scaling (one real chip in "
+            "this environment); measures the framework's parallel fraction, "
+            "not ICI bandwidth.",
+            "",
+            "| devices | batch | train ms/step | eff | GLS ms/batch | eff |",
+            "|---|---|---|---|---|---|",
+        ]
+        for ndev, r in results["weak_scaling_virtual_mesh"].items():
+            lines.append(
+                f"| {ndev} | {r['batch']} | {r['train_s_per_step']*1e3:.1f} "
+                f"| {r['train_weak_scaling_eff']*100:.0f}% "
+                f"| {r['gls_s_per_batch']*1e3:.1f} "
+                f"| {r['gls_weak_scaling_eff']*100:.0f}% |")
+        lines.append("")
+    (ROOT / "benchmarks" / "RESULTS_north_star.md").write_text(
+        "\n".join(lines) + "\n")
+    print("wrote benchmarks/RESULTS_north_star.md")
+
+
+if __name__ == "__main__":
+    main()
