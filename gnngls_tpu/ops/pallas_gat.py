@@ -76,11 +76,81 @@ def _group_partials(el_rep, er_rep, hc, interpret: bool = False):
     )(el_rep, er_rep, hc)
 
 
+def _group_kernel_chunked(el_ref, hc_ref, er_ref, m_ref, z_ref, num_ref):
+    """One (batch, city, src_chunk) cell — flash accumulation over source
+    chunks so VMEM holds only a (g, gs, HF) score slab (large-n variant).
+
+    el_ref/hc_ref: (gs, HF) source chunk; er_ref: (g, HF) resident targets;
+    m/z/num_ref: (g, HF) running flash state (revisited across the innermost
+    grid axis; initialized at k == 0).
+    """
+    k = pl.program_id(2)
+    el = el_ref[0, 0]  # (gs, HF)
+    hc = hc_ref[0, 0]
+    er = er_ref[0, 0]  # (g, HF)
+    g = er.shape[0]
+    gs = el.shape[0]
+
+    s = er[:, None, :] + el[None, :, :]  # (g, gs, HF)
+    s = jnp.where(s > 0, s, LEAKY_SLOPE * s)
+    # self pair: global source index k*gs + j == target index i
+    tt = jax.lax.broadcasted_iota(jnp.int32, (g, gs, 1), 0)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (g, gs, 1), 1) + k * gs
+    s = jnp.where(tt == ss, -3.0e38, s)
+
+    m_k = jnp.max(s, axis=1)  # (g, HF)
+    p = jnp.exp(s - m_k[:, None, :])
+    z_k = jnp.sum(p, axis=1)
+    num_k = jnp.sum(p * hc[None, :, :], axis=1)
+
+    @pl.when(k == 0)
+    def _init():
+        m_ref[0, 0] = m_k
+        z_ref[0, 0] = z_k
+        num_ref[0, 0] = num_k
+
+    @pl.when(k > 0)
+    def _merge():
+        m_old = m_ref[0, 0]
+        m_new = jnp.maximum(m_old, m_k)
+        so = jnp.exp(m_old - m_new)
+        sk = jnp.exp(m_k - m_new)
+        m_ref[0, 0] = m_new
+        z_ref[0, 0] = z_ref[0, 0] * so + z_k * sk
+        num_ref[0, 0] = num_ref[0, 0] * so + num_k * sk
+
+
+@functools.partial(jax.jit, static_argnames=("gs", "interpret"))
+def _group_partials_chunked(el_rep, er_rep, hc, gs: int,
+                            interpret: bool = False):
+    """Source-chunked flash partials: (B, n, g, HF) x3 with the source axis
+    of el/hc padded to K*gs -> (m, z, num) each (B, n, g, HF)."""
+    B, n, g, HF = er_rep.shape
+    gp = el_rep.shape[2]
+    K = gp // gs
+    src_spec = pl.BlockSpec((1, 1, gs, HF), lambda b, u, k: (b, u, k, 0))
+    tgt_spec = pl.BlockSpec((1, 1, g, HF), lambda b, u, k: (b, u, 0, 0))
+    return pl.pallas_call(
+        _group_kernel_chunked,
+        grid=(B, n, K),
+        in_specs=[src_spec, src_spec, tgt_spec],
+        out_specs=[tgt_spec, tgt_spec, tgt_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, n, g, HF), jnp.float32)] * 3,
+        interpret=interpret,
+    )(el_rep, hc, er_rep)
+
+
 def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
-                    n_heads: int, *, interpret: bool = False) -> jax.Array:
+                    n_heads: int, *, interpret: bool = False,
+                    src_chunk: int = 0) -> jax.Array:
     """Drop-in replacement for ops.gat.gat_conv via the fused kernel.
 
     x: (..., E, C_in) -> (..., E, H*F).
+
+    src_chunk: 0 = auto.  For groups whose (g, g, HF) score slab fits VMEM
+    (n <= ~128 at HF=128) the one-shot kernel runs; otherwise sources are
+    streamed in chunks of src_chunk with flash max-merging (lifts the
+    round-1 n~128 ceiling to tsp1000-class sizes).
     """
     n = topo.n
     squeeze = x.ndim == 2
@@ -101,7 +171,24 @@ def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     er_rep = rep(er)[:, city]
     hc = h.reshape(B, E, HF)[:, city]
 
-    m_g, z_g, num_g = _group_partials(el_rep, er_rep, hc, interpret)
+    g = n - 1
+    slab = g * g * HF * 4  # one-shot (g, g, HF) score slab, bytes
+    if src_chunk == 0 and slab > 6 * 2 ** 20:
+        # auto: stream sources so the (g, gs, HF) slab stays ~4 MB
+        src_chunk = max(8, (4 * 2 ** 20) // (g * HF * 4) // 8 * 8)
+    if src_chunk:
+        gp = ((g + src_chunk - 1) // src_chunk) * src_chunk
+        if gp > g:
+            # padded source lanes: score -inf (never win max / add to sums)
+            el_rep = jnp.pad(el_rep, ((0, 0), (0, 0), (0, gp - g), (0, 0)),
+                             constant_values=-3.0e38)
+            hc_p = jnp.pad(hc, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+        else:
+            hc_p = hc
+        m_g, z_g, num_g = _group_partials_chunked(el_rep, er_rep, hc_p,
+                                                  src_chunk, interpret)
+    else:
+        m_g, z_g, num_g = _group_partials(el_rep, er_rep, hc, interpret)
 
     ng = n * (n - 1)
     m_flat = m_g.reshape(B, ng, HF)

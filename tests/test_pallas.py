@@ -24,6 +24,20 @@ def test_pallas_gat_matches_fast(n, H, F):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n,sc", [(12, 4), (16, 5), (24, 8)])
+def test_pallas_gat_source_chunked(n, sc):
+    """Large-n variant: sources streamed in VMEM-sized chunks with flash
+    max-merging (incl. non-divisible chunk -> -inf padded lanes)."""
+    topo = build_topology(n)
+    H, F, c = 4, 8, 6
+    params = gm.init_gat_params(jax.random.PRNGKey(4), c, H, F)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, topo.n_edges, c))
+    want = gm.gat_conv(params, topo, x, H)
+    got = gat_conv_pallas(params, topo, x, H, interpret=True, src_chunk=sc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_gat_unbatched_input():
     n, H, F = 8, 2, 8
     topo = build_topology(n)
