@@ -57,10 +57,18 @@ class Pipeline:
 
     # -- stages ---------------------------------------------------------
 
+    def wip_dir(self):
+        """git-tracked insurance copies of run artifacts (runs/ is neither
+        gitignored-tracked nor guaranteed to survive between rounds)."""
+        return ROOT / "data" / f"{self.name}_wip"
+
     def stage_generate(self):
         from gnngls_tpu.data import generate
 
         path = self.run / "dataset.npz"
+        if not path.exists() and (self.wip_dir() / "dataset.npz").exists():
+            self.run.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(self.wip_dir() / "dataset.npz", path)
         if path.exists():
             print("[generate] cached")
             return generate.load_dataset(path)
@@ -109,6 +117,8 @@ class Pipeline:
         for s in range(0, N, self.label_chunk):
             part = self.run / f"labels_{s}.npz"
             e = min(s + self.label_chunk, N)
+            if not part.exists() and (self.wip_dir() / part.name).exists():
+                shutil.copy2(self.wip_dir() / part.name, part)
             if part.exists():
                 with np.load(part) as z:
                     regret[s:e] = z["regret"]
