@@ -140,9 +140,61 @@ def _group_partials_chunked(el_rep, er_rep, hc, gs: int,
     )(el_rep, hc, er_rep)
 
 
+def _group_kernel_mxu(el_ref, er_ref, hc_ref, m_ref, z_ref, num_ref):
+    """One (batch, city) cell, per-head MXU aggregation (throughput variant).
+
+    el/er_ref: (g, H) raw per-head scores — NOT lane-replicated, so the
+    score/exp/max elementwise work is H lanes instead of H*F (16x less VPU
+    traffic at the shipped 8x16 head layout); the weighted aggregation runs
+    as H small (g, g) @ (g, F) MXU matmuls instead of a VPU
+    multiply-reduce.  Emits lane-replicated (m, z) like _group_kernel so the
+    combine path outside is shared.
+    """
+    el = el_ref[0, 0]  # (g, H)
+    er = er_ref[0, 0]
+    hc = hc_ref[0, 0]  # (g, HF)
+    g, H = el.shape
+    F = hc.shape[1] // H
+
+    s = er[:, None, :] + el[None, :, :]  # (g, g, H)
+    s = jnp.where(s > 0, s, LEAKY_SLOPE * s)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (g, g, 1), 0)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (g, g, 1), 1)
+    s = jnp.where(tt == ss, -3.0e38, s)
+    m = jnp.max(s, axis=1)  # (g, H)
+    p = jnp.exp(s - m[:, None, :])  # (g, g, H)
+    z = jnp.sum(p, axis=1)  # (g, H)
+
+    for h in range(H):  # static unroll: H batched MXU matmuls
+        num_h = jnp.dot(p[:, :, h], hc[:, h * F:(h + 1) * F],
+                        preferred_element_type=jnp.float32)
+        num_ref[0, 0, :, h * F:(h + 1) * F] = num_h
+
+    # lane-replicate the per-head scalars for the shared combine path
+    m_ref[0, 0] = jnp.repeat(m, F, axis=1)
+    z_ref[0, 0] = jnp.repeat(z, F, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _group_partials_mxu(el_c, er_c, hc, interpret: bool = False):
+    """(B, n, g, H) x2 + (B, n, g, HF) -> lane-replicated (m, z) and num."""
+    B, n, g, H = el_c.shape
+    HF = hc.shape[-1]
+    spec_h = pl.BlockSpec((1, 1, g, H), lambda b, u: (b, u, 0, 0))
+    spec_hf = pl.BlockSpec((1, 1, g, HF), lambda b, u: (b, u, 0, 0))
+    return pl.pallas_call(
+        _group_kernel_mxu,
+        grid=(B, n),
+        in_specs=[spec_h, spec_h, spec_hf],
+        out_specs=[spec_hf, spec_hf, spec_hf],
+        out_shape=[jax.ShapeDtypeStruct((B, n, g, HF), jnp.float32)] * 3,
+        interpret=interpret,
+    )(el_c, er_c, hc)
+
+
 def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
                     n_heads: int, *, interpret: bool = False,
-                    src_chunk: int = 0) -> jax.Array:
+                    src_chunk: int = 0, mxu: bool = False) -> jax.Array:
     """Drop-in replacement for ops.gat.gat_conv via the fused kernel.
 
     x: (..., E, C_in) -> (..., E, H*F).
@@ -176,7 +228,11 @@ def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     if src_chunk == 0 and slab > 6 * 2 ** 20:
         # auto: stream sources so the (g, gs, HF) slab stays ~4 MB
         src_chunk = max(8, (4 * 2 ** 20) // (g * HF * 4) // 8 * 8)
-    if src_chunk:
+    if mxu and not src_chunk:
+        el_c = el[:, city]  # (B, n, g, H) — per-head, not lane-replicated
+        er_c = er[:, city]
+        m_g, z_g, num_g = _group_partials_mxu(el_c, er_c, hc, interpret)
+    elif src_chunk:
         gp = ((g + src_chunk - 1) // src_chunk) * src_chunk
         if gp > g:
             # padded source lanes: score -inf (never win max / add to sums)

@@ -38,6 +38,19 @@ def test_pallas_gat_source_chunked(n, sc):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n", [10, 16])
+def test_pallas_gat_mxu_variant(n):
+    """Per-head MXU aggregation variant == the lane-replicated kernel."""
+    topo = build_topology(n)
+    H, F, c = 4, 8, 6
+    params = gm.init_gat_params(jax.random.PRNGKey(6), c, H, F)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, topo.n_edges, c))
+    want = gm.gat_conv(params, topo, x, H)
+    got = gat_conv_pallas(params, topo, x, H, interpret=True, mxu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_gat_unbatched_input():
     n, H, F = 8, 2, 8
     topo = build_topology(n)
