@@ -45,7 +45,8 @@ def model_flops_per_edge(cfg, n):
     return cfg.depth * per_layer + 2 * cfg.in_dim * HF + 2 * HF * cfg.out_dim
 
 
-def bench_inference(n=100, B=128, impls=("fast", "bf16", "pallas"), reps=3):
+def bench_inference(n=100, B=128,
+                    impls=("fast", "bf16", "pallas", "pallas_mxu"), reps=3):
     import jax
     import jax.numpy as jnp
 

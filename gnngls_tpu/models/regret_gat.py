@@ -124,6 +124,12 @@ def forward(
         from ..ops.pallas_gat import gat_conv_pallas
 
         conv = gat_conv_pallas
+    elif gat_impl == "pallas_mxu":  # per-head MXU aggregation variant
+        import functools
+
+        from ..ops.pallas_gat import gat_conv_pallas
+
+        conv = functools.partial(gat_conv_pallas, mxu=True)
     elif gat_impl == "naive":
         conv = gat_conv_naive
     elif gat_impl == "chunked":  # large-n memory-bounded path (tsp500+)
