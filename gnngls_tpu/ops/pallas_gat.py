@@ -193,7 +193,7 @@ def _group_partials_mxu(el_c, er_c, hc, interpret: bool = False):
 
 
 def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
-                    n_heads: int, *, interpret: bool = False,
+                    n_heads: int, *, interpret: bool | None = None,
                     src_chunk: int = 0, mxu: bool = False) -> jax.Array:
     """Drop-in replacement for ops.gat.gat_conv via the fused kernel.
 
@@ -205,6 +205,8 @@ def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     round-1 n~128 ceiling to tsp1000-class sizes).
     """
     n = topo.n
+    if interpret is None:  # auto: the compiled kernel is TPU-only
+        interpret = jax.default_backend() != "tpu"
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
