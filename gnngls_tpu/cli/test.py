@@ -32,6 +32,11 @@ def main(argv=None):
                              "here — JAX always uses the default backend "
                              "(TPU when present)")
     parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--protocol_10s", action="store_true",
+                        help="replace --time_limit/--n_iters with the "
+                             "calibrated fixed budget equivalent to the "
+                             "reference's 10 s/instance protocol "
+                             "(evaluate.calibrate_protocol_iters)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -70,9 +75,20 @@ def main(argv=None):
             params, bn_state, _, _ = ck.load_checkpoint(
                 args.model_path, params_like=p_like, bn_state_like=s_like)
 
+    n_iters = args.n_iters
+    if args.protocol_10s:
+        n = test_set.n_nodes
+        if n not in ev.REFERENCE_10S_MOVES:
+            raise SystemExit(f"no measured 10s-protocol move target for n={n} "
+                             f"(have {sorted(ev.REFERENCE_10S_MOVES)})")
+        n_iters = ev.calibrate_protocol_iters(
+            test_set, target_moves=ev.REFERENCE_10S_MOVES[n],
+            guides=["weight"])
+        print(f"10s-protocol calibrated budget: n_iters={n_iters}")
+
     out = ev.evaluate(
         test_set, params=params, bn_state=bn_state, model_cfg=model_cfg,
-        guides=args.guides, time_limit=args.time_limit, n_iters=args.n_iters,
+        guides=args.guides, time_limit=args.time_limit, n_iters=n_iters,
         perturbation_moves=args.perturbation_moves, batch_size=args.batch_size,
         engine=args.engine)
 
