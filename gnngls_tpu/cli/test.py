@@ -81,10 +81,16 @@ def main(argv=None):
         if n not in ev.REFERENCE_10S_MOVES:
             raise SystemExit(f"no measured 10s-protocol move target for n={n} "
                              f"(have {sorted(ev.REFERENCE_10S_MOVES)})")
+        # Calibration is pinned to the weight guide: REFERENCE_10S_MOVES was
+        # measured weight-guided on the reference stack, and a single anchor
+        # keeps budgets MATCHED across guides (acceptance rates differ per
+        # guide, so per-guide calibration would compare unequal n_iters).
         n_iters = ev.calibrate_protocol_iters(
             test_set, target_moves=ev.REFERENCE_10S_MOVES[n],
             guides=["weight"])
-        print(f"10s-protocol calibrated budget: n_iters={n_iters}")
+        print(f"10s-protocol calibrated budget: n_iters={n_iters} "
+              f"(weight-guided anchor, {ev.REFERENCE_10S_MOVES[n]:.0f} "
+              f"target moves)")
 
     out = ev.evaluate(
         test_set, params=params, bn_state=bn_state, model_cfg=model_cfg,
@@ -96,6 +102,10 @@ def main(argv=None):
           f"median: {float(np.median(out['gaps'])):.4f}%  "
           f"max: {float(out['gaps'].max()):.4f}%")
 
+    if out.get("trace_mode") == "final-only":
+        print("note: per-move traces are unavailable on the pallas engine; "
+              "the search-progress DataFrame carries one final-cost row per "
+              "instance (use --engine xla for full traces)")
     rows = ev.search_progress_records(test_set, out)
     path = ev.write_run_dataframe(rows, args.run_dir)
     print(f"search progress -> {path}")

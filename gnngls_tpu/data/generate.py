@@ -100,6 +100,29 @@ def generate_instances(n_samples: int, n_nodes: int, seed: int = 0,
     }
 
 
+def check_shard_meta(z, part, n_rows: int, row_key: str, **expect) -> None:
+    """Validate a resume shard against the current run's parameters.
+
+    Re-running a sharded stage with a different seed/chunk/n/solver must not
+    silently merge stale shards.  Shards written before metadata existed
+    carry no ``meta_*`` keys and are accepted as-is (row count still
+    checked); any present key must match or the resume fails loudly.
+    """
+    if z[row_key].shape[0] != n_rows:
+        raise ValueError(
+            f"resume shard {part} holds {z[row_key].shape[0]} rows where "
+            f"this run expects {n_rows} (chunk size changed?) — delete the "
+            f"stale shard dir or re-run with matching parameters")
+    files = getattr(z, "files", ())
+    for k, v in expect.items():
+        mk = f"meta_{k}"
+        if mk in files and str(z[mk]) != str(v):
+            raise ValueError(
+                f"resume shard {part} was written with {k}={z[mk]!r} but "
+                f"this run expects {k}={v!r} — delete the stale shard dir "
+                f"or re-run with matching parameters")
+
+
 def generate_instances_sharded(shard_dir, n_samples: int, n_nodes: int, *,
                                seed: int = 0, solver: Optional[str] = None,
                                opt_iters: int = 100, chunk: int = 512,
@@ -139,7 +162,9 @@ def generate_instances_sharded(shard_dir, n_samples: int, n_nodes: int, *,
             tours[b:e], costs[b:e] = solve_instances(coords[b:e], solver,
                                                      opt_iters)
         tmp = part.with_suffix(".tmp.npz")
-        np.savez(tmp, coords=coords, opt_tour=tours, opt_cost=costs)
+        np.savez(tmp, coords=coords, opt_tour=tours, opt_cost=costs,
+                 meta_seed=str(seed), meta_n_nodes=str(n_nodes),
+                 meta_chunk=str(chunk), meta_solver=str(solver))
         tmp.rename(part)  # atomic: a crash mid-write never leaves a bad shard
         if verbose:
             print(f"[generate] {s + m}/{n_samples} "
@@ -147,14 +172,18 @@ def generate_instances_sharded(shard_dir, n_samples: int, n_nodes: int, *,
                   flush=True)
 
     coords, tours, costs = [], [], []
-    for part in parts:
+    for s, part in zip(range(0, n_samples, chunk), parts):
         with np.load(part) as z:
+            check_shard_meta(z, part, min(chunk, n_samples - s), "coords",
+                             seed=seed, n_nodes=n_nodes, chunk=chunk,
+                             solver=solver)
             coords.append(z["coords"])
             tours.append(z["opt_tour"])
             costs.append(z["opt_cost"])
-    coords = np.concatenate(coords)[:n_samples]
-    tours = np.concatenate(tours)[:n_samples]
-    costs = np.concatenate(costs)[:n_samples]
+    coords = np.concatenate(coords)
+    tours = np.concatenate(tours)
+    costs = np.concatenate(costs)
+    assert coords.shape[0] == n_samples, (coords.shape[0], n_samples)
     in_solution = np.stack([tour_to_edge_vector(n_nodes, t) for t in tours])
     return {
         "coords": coords,

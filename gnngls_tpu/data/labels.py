@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.graph import build_topology
-from .generate import coords_to_distance_matrix
+from .generate import check_shard_meta, coords_to_distance_matrix
 
 
 def edge_features(coords: np.ndarray) -> np.ndarray:
@@ -71,6 +71,11 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
         e = min(s + chunk, N)
         if part.exists():
             with np.load(part) as z:
+                check_shard_meta(
+                    z, part, e - s, "regret", n_nodes=n, chunk=chunk,
+                    warm_gls_iters=warm_gls_iters,
+                    perturbation_moves=perturbation_moves,
+                    dual_splice=dual_splice)
                 regret[s:e] = z["regret"]
                 opt_tour[s:e] = z["opt_tour"]
                 opt[s:e] = z["opt_cost"]
@@ -90,7 +95,10 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
             regret[i] = np.maximum(r, 0.0)
         tmp = part.with_suffix(".tmp.npz")
         np.savez(tmp, regret=regret[s:e], opt_tour=opt_tour[s:e],
-                 opt_cost=opt[s:e])
+                 opt_cost=opt[s:e], meta_n_nodes=str(n), meta_chunk=str(chunk),
+                 meta_warm_gls_iters=str(warm_gls_iters),
+                 meta_perturbation_moves=str(perturbation_moves),
+                 meta_dual_splice=str(dual_splice))
         tmp.rename(part)
         if verbose:
             print(f"[labels] {e}/{N} ({(time.time()-t0)/(e-s):.2f}s/inst)",

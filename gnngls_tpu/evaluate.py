@@ -122,6 +122,10 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
         "mean_gap": float(gaps.mean()),
         "best_costs": result.best_costs,
         "best_tours": result.best_tours,
+        # the pallas kernel keeps no per-move trace; its result carries one
+        # final-cost row per instance (batched.run_fixed_pallas)
+        "trace_mode": ("final-only" if n_iters is not None and use_pallas
+                       else "per-move"),
         "init_costs": init_costs,
         "opt_costs": opt,
         "result": result,
@@ -140,7 +144,8 @@ REFERENCE_10S_MOVES = {20: 32717.0, 50: 7322.0, 100: 1605.0}
 
 def calibrate_protocol_iters(dataset: TSPDataset, *, target_moves: float,
                              probe_budgets: Tuple[int, int] = (5, 25),
-                             max_iters: int = 2000, **eval_kw) -> int:
+                             max_iters: int = 2000, verify: bool = True,
+                             **eval_kw) -> int:
     """Map the reference's 10 s/instance protocol to a fixed n_iters budget.
 
     The reference gives every instance 10 s of single-thread search; the
@@ -148,24 +153,51 @@ def calibrate_protocol_iters(dataset: TSPDataset, *, target_moves: float,
     BASELINE.md).  The deterministic TPU engines use fixed outer-iteration
     budgets instead of wall-clock (SURVEY §7.4), so this probes the
     accepted-moves-per-instance vs n_iters relationship on `dataset` and
-    returns the smallest n_iters whose mean accepted moves reaches
-    `target_moves` — i.e. a budget at which every instance gets AT LEAST the
-    search work the reference protocol would have given it.
+    returns an n_iters whose MEAN accepted moves reaches `target_moves` —
+    a budget approximately equivalent (in mean search work, not per
+    instance) to the reference protocol.
+
+    Acceptance decays as searches converge, so a linear extrapolation from
+    two small probes understates the budget; with ``verify=True`` (default)
+    the extrapolated budget is re-measured and bumped (x1.6 steps) until the
+    measured mean meets the target or ``max_iters`` is hit.  If the search
+    saturates below the target even at ``max_iters`` (common at small n,
+    where instances solve to optimality long before the reference's 10 s
+    runs out), the returned budget carries that ceiling — quote achieved
+    moves alongside gaps whenever this calibration is used.
     """
-    moves = {}
-    for b in probe_budgets:
-        out = evaluate(dataset, n_iters=b, **eval_kw)
-        moves[b] = float(np.mean(out["result"].chunk_moves[:, -1]))
+    measured = {}
+
+    def mean_moves(b: int) -> float:
+        if b not in measured:
+            out = evaluate(dataset, n_iters=b, **eval_kw)
+            measured[b] = float(np.mean(out["result"].chunk_moves[:, -1]))
+        return measured[b]
+
     b0, b1 = probe_budgets
-    slope = (moves[b1] - moves[b0]) / (b1 - b0)
-    if moves[b1] >= target_moves:
-        # already past the target at the probe; interpolate down
-        if moves[b0] >= target_moves:
-            return b0
+    if mean_moves(b0) >= target_moves:
+        return b0
+    if mean_moves(b1) >= target_moves:
+        # target crossed inside [b0, b1]: interpolate, verify, else take b1
+        frac = (target_moves - measured[b0]) / (measured[b1] - measured[b0])
+        need = int(np.ceil(b0 + frac * (b1 - b0)))
+        need = max(b0 + 1, min(need, b1))
+        if not verify or mean_moves(need) >= target_moves:
+            return need
+        return b1
+    slope = (measured[b1] - measured[b0]) / (b1 - b0)
     if slope <= 0:
         return max_iters  # saturated below target: give the max budget
-    need = int(np.ceil(b0 + (target_moves - moves[b0]) / slope))
-    return int(max(1, min(need, max_iters)))
+    need = int(np.ceil(b0 + (target_moves - measured[b0]) / slope))
+    need = int(max(b1 + 1, min(need, max_iters)))
+    if not verify:
+        return need
+    b = need
+    for _ in range(8):
+        if mean_moves(b) >= target_moves or b >= max_iters:
+            break
+        b = min(max_iters, max(b + 1, int(np.ceil(b * 1.6))))
+    return b
 
 
 def search_progress_records(dataset: TSPDataset, out: dict,

@@ -230,6 +230,18 @@ def gat_conv_pallas(params: GATParams, topo: LineGraphTopology, x: jax.Array,
     if src_chunk == 0 and slab > 6 * 2 ** 20:
         # auto: stream sources so the (g, gs, HF) slab stays ~4 MB
         src_chunk = max(8, (4 * 2 ** 20) // (g * HF * 4) // 8 * 8)
+        if mxu:
+            import warnings
+            warnings.warn(
+                f"pallas_mxu: n={n} exceeds the one-shot VMEM slab "
+                f"({slab >> 20} MB); falling back to the source-chunked "
+                f"(non-MXU) kernel — there is no chunked MXU variant yet",
+                stacklevel=2)
+    elif mxu and src_chunk:
+        raise ValueError(
+            "mxu=True is incompatible with src_chunk>0: the per-head MXU "
+            "kernel has no chunked variant — pass src_chunk=0 (and n small "
+            "enough for the one-shot slab) or mxu=False")
     if mxu and not src_chunk:
         el_c = el[:, city]  # (B, n, g, H) — per-head, not lane-replicated
         er_c = er[:, city]

@@ -141,9 +141,13 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
     instead of round-tripping hundreds of small HLOs per outer iteration).
     Supports exactly one guide matrix and keeps no per-move trace — the
     shipped pipeline's configuration; use `run_fixed` when you need traces,
-    guide cycling, or first-improvement mode.  Final costs are re-derived
-    from the tours in plain f32 on the host (the kernel's incremental
-    tour-space accounting is validated to ~1e-6 but not bit-identical).
+    guide cycling, or first-improvement mode.  The returned trace carries
+    exactly ONE entry per instance (the final cost), so downstream
+    search-progress DataFrames are final-only rather than empty; callers
+    should surface that (evaluate() sets result trace_mode='final-only').
+    Final costs are re-derived from the tours in plain f32 on the host (the
+    kernel's incremental tour-space accounting is validated to ~1e-6 but
+    not bit-identical).
     """
     from . import pallas_gls
 
@@ -167,8 +171,8 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
     return BatchResult(
         best_tours=tours,
         best_costs=costs.astype(np.float64),
-        trace_costs=np.zeros((B, 0), np.float32),
-        trace_n=np.zeros((B,), np.int64),
+        trace_costs=costs.astype(np.float32)[:, None],  # final-only trace
+        trace_n=np.ones((B,), np.int64),
         chunk_times=[t0, t1],
         chunk_moves=np.stack([np.zeros_like(moves_n), moves_n], axis=1),
     )

@@ -30,3 +30,31 @@ def test_ffn_tp_rejects_indivisible():
     f2 = init_linear(jax.random.PRNGKey(1), 12, 8)
     with pytest.raises(ValueError):
         shard_ffn_params(f1, f2, mesh)
+
+
+def test_full_model_forward_tp_matches_single_device():
+    """VERDICT r2 item 8: TP wired into the model forward, not just the
+    primitive.  Full (small-config) regret GNN with Megatron-sharded FFNs on
+    a 4-device 'model' mesh vs the plain single-device forward."""
+    from gnngls_tpu.core.graph import build_topology
+    from gnngls_tpu.models import regret_gat as M
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("model",))
+    n = 12
+    cfg = M.RegretGNNConfig(in_dim=1, embed_dim=32, n_heads=4, hidden_dim=64)
+    topo = build_topology(n)
+    params, state = M.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, topo.n_edges, 1))
+
+    want, want_state = M.forward(params, state, topo, x, n_heads=cfg.n_heads,
+                                 train=True)
+    params_tp = M.shard_params_tp(params, mesh)
+    got, got_state = M.forward_tp(params_tp, state, topo, x,
+                                  n_heads=cfg.n_heads, mesh=mesh, train=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+    # BN running stats must evolve identically too
+    for a, b in zip(jax.tree_util.tree_leaves(got_state),
+                    jax.tree_util.tree_leaves(want_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
