@@ -290,6 +290,10 @@ class Pipeline:
                     "p95_gap_pct": float(np.percentile(out["gaps"], 95)),
                     "frac_optimal": float((out["gaps"] < 1e-4).mean()),
                     "mean_init_gap_pct": init_gap,
+                    # achieved search work, quoted alongside gaps whenever a
+                    # calibrated protocol budget is used (ADVICE r2)
+                    "mean_accepted_moves": float(
+                        np.mean(out["result"].chunk_moves[:, -1])),
                     "batch_wall_s": dt,
                     "wall_s_per_instance": dt / len(test_set),
                 }
@@ -341,15 +345,17 @@ class Pipeline:
             "20 perturbation moves/iter; gap vs the reference solution.",
             "",
             "| guide | outer iters | mean gap % | p95 gap % | optimal rate "
-            "| init gap % | s/instance |",
-            "|---|---|---|---|---|---|---|",
+            "| init gap % | moves/inst | s/instance |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for r in results.values():
+            mv = r.get("mean_accepted_moves")
             lines.append(
                 f"| {r['guide']} | {r.get('budget', r['n_iters'])} | "
                 f"{r['mean_gap_pct']:.4f} | "
                 f"{r['p95_gap_pct']:.4f} | {r['frac_optimal']:.3f} | "
                 f"{r['mean_init_gap_pct']:.2f} | "
+                f"{'—' if mv is None else f'{mv:.0f}'} | "
                 f"{r['wall_s_per_instance']:.4f} |")
         with open(ROOT / "benchmarks" / f"RESULTS_{self.name}.md", "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -43,3 +43,52 @@ def test_calibrated_budget_reaches_move_target():
     got = float(np.mean(out["result"].chunk_moves[:, -1]))
     # linear extrapolation + move accrual is noisy; demand the right ballpark
     assert got >= 0.6 * target
+
+
+def test_calibrate_verify_loop_bumps_until_target(monkeypatch):
+    """ADVICE r2 (medium): acceptance decays as the search converges, so the
+    linear extrapolation understates the budget — the verify loop must
+    re-measure and bump until the measured mean meets the target."""
+    import gnngls_tpu.evaluate as ev
+
+    calls = []
+
+    def fake_evaluate(dataset, *, n_iters, **kw):
+        calls.append(n_iters)
+        # concave accrual: fast early moves, decaying returns
+        moves = 60.0 * np.sqrt(n_iters)
+
+        class R:
+            chunk_moves = np.array([[0.0, moves]])
+
+        return {"result": R()}
+
+    monkeypatch.setattr(ev, "evaluate", fake_evaluate)
+    # probes at 5, 25: moves 134, 300; linear slope 8.3/iter extrapolates
+    # ~49 iters for target 420 but sqrt accrual needs 49
+    b = ev.calibrate_protocol_iters(None, target_moves=420.0,
+                                    probe_budgets=(5, 25), max_iters=2000)
+    assert 60.0 * np.sqrt(b) >= 420.0  # returned budget truly meets target
+    assert len(calls) >= 3  # at least one verification measurement happened
+
+
+def test_calibrate_returns_small_probe_when_it_meets_target(monkeypatch):
+    """ADVICE r2 (low): if the first probe already meets the target, return
+    it without consulting the (possibly noisy) second probe."""
+    import gnngls_tpu.evaluate as ev
+
+    calls = []
+
+    def fake_evaluate(dataset, *, n_iters, **kw):
+        calls.append(n_iters)
+
+        class R:  # b0 overshoots; any larger budget would look worse (noise)
+            chunk_moves = np.array([[0.0, 500.0 if n_iters == 5 else 10.0]])
+
+        return {"result": R()}
+
+    monkeypatch.setattr(ev, "evaluate", fake_evaluate)
+    b = ev.calibrate_protocol_iters(None, target_moves=400.0,
+                                    probe_budgets=(5, 25))
+    assert b == 5
+    assert calls == [5]
