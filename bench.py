@@ -36,6 +36,10 @@ def make_set(seed, B, n):
 
     from gnngls_tpu.search import batched
 
+    # seed=None -> OS entropy.  Timed chunks MUST be entropy-seeded: the
+    # remote-TPU tunnel caches executions by (executable, inputs) ACROSS
+    # processes, so fixed seeds can be served from cache on a re-run and
+    # report transfer latency instead of compute (round-3 finding).
     rng = np.random.default_rng(seed)
     pos = rng.random((B, n, 2))
     Ds = jnp.asarray(np.linalg.norm(pos[:, :, None] - pos[:, None, :],
@@ -48,7 +52,7 @@ def make_set(seed, B, n):
 def bench_pallas(n, B, n_iters, n_chunks):
     from gnngls_tpu.search import pallas_gls
 
-    sets = [make_set(100 + s, B, n) for s in range(n_chunks + 1)]
+    sets = [make_set(None, B, n) for s in range(n_chunks + 1)]
     # warm-up compile (not timed)
     _, _, m = pallas_gls.gls_pallas(sets[0][0], sets[0][0], sets[0][1],
                                     n_iters=n_iters, perturbation_moves=20)
@@ -71,7 +75,7 @@ def bench_xla(n, B, n_iters, n_chunks):
 
     sets = []
     for s in range(n_chunks + 1):
-        Ds, inits = make_set(200 + s, B, n)
+        Ds, inits = make_set(None, B, n)
         st = batched.batch_init(Ds, Ds[:, None], inits, 2048)
         jax.block_until_ready(st)
         sets.append((Ds, st, int(np.asarray(st.trace.n).sum())))

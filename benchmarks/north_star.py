@@ -46,16 +46,20 @@ def model_flops_per_edge(cfg, n):
 
 
 def bench_inference(n=100, B=128,
-                    impls=("fast", "bf16", "pallas", "pallas_mxu"), reps=20):
+                    impls=("fast", "bf16", "pallas", "pallas_mxu"), reps=16):
     """Full-model forward throughput per gat_impl.
 
-    Methodology (remote-TPU tunnel): dispatch is async and
-    jax.block_until_ready can return before remote execution completes, so
-    a naive per-call timer measures enqueue latency, not compute (round-2's
-    13,000% "MFU").  Here `reps` forwards over DISTINCT inputs (the tunnel
-    caches identical executions) run inside ONE jitted lax.scan whose
-    summed outputs are fetched to host — one tunnel round-trip per timed
-    call, amortized over reps real forwards.
+    Methodology (remote-TPU tunnel — two traps, both hit in earlier rounds):
+      1. dispatch is async and jax.block_until_ready can return before
+         remote execution completes, so a naive per-call timer measures
+         enqueue latency (round-2's 13,000% "MFU");
+      2. the tunnel CACHES executions by (executable, inputs) ACROSS
+         processes, so seeded inputs re-run in a later session are served
+         from cache in ~ms (round-3's 131x-peak "MFU").
+    Fix: inputs come from OS entropy on the host (never cacheable), `reps`
+    forwards run inside ONE jitted lax.scan fenced by a host fetch, and the
+    per-forward time is the SLOPE between a short and a long scan — the
+    fixed tunnel round-trip and fetch cost cancels out.
     """
     import jax
     import jax.numpy as jnp
@@ -69,6 +73,7 @@ def bench_inference(n=100, B=128,
     params, state = M.init_params(jax.random.PRNGKey(0), cfg)
     flops = model_flops_per_edge(cfg, n) * E * B
     edge_msgs = B * E * 2 * (n - 2) * cfg.depth
+    short = max(1, reps // 4)
 
     out = {}
     for impl in impls:
@@ -83,16 +88,21 @@ def bench_inference(n=100, B=128,
                 _, ys = jax.lax.scan(step, state, xs)
                 return ys
 
-            def run(seed):
-                xs = jax.random.uniform(jax.random.PRNGKey(seed),
-                                        (reps, B, E, 1))
+            ent = np.random.default_rng()  # OS entropy — uncacheable
+
+            def run(k):
+                xs = jnp.asarray(ent.random((k, B, E, 1), dtype=np.float32))
                 xs = jax.block_until_ready(jax.device_put(xs))
                 t0 = time.perf_counter()
                 np.asarray(chained(params, state, xs))  # host fetch = fence
                 return time.perf_counter() - t0
 
-            run(0)                      # compile warm-up (not timed)
-            dt = min(run(1), run(2)) / reps
+            run(short), run(reps)       # compile warm-up (not timed)
+            t_s = min(run(short), run(short))
+            t_l = min(run(reps), run(reps))
+            dt = (t_l - t_s) / (reps - short)
+            if dt <= 0:                  # noise floor — fall back to long run
+                dt = t_l / reps
         except Exception as exc:  # noqa: BLE001 — record per-impl failures
             out[impl] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             print(f"[inference {impl}] FAILED: {out[impl]['error'][:120]}",
