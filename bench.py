@@ -112,8 +112,10 @@ def main():
     if ns.exists():
         try:
             rec = json.loads(ns.read_text()).get("inference", {})
+            # prefer the impl with the best utilization of its own dtype
+            # peak (edges/s is near-identical across dtypes; MFU is not)
             best = max((r for r in rec.values() if "edges_per_s" in r),
-                       key=lambda r: r["edges_per_s"], default=None)
+                       key=lambda r: r["mfu_vs_v5e_peak"], default=None)
             if best:
                 out["extra"] = {
                     "inference_edges_per_s": round(best["edges_per_s"], 1),
