@@ -36,7 +36,8 @@ class Pipeline:
                  label_moves=30, budgets=(5, 100), label_chunk=250,
                  n_epochs=100, name=None, exact_claim=None,
                  label_oracle="warm", opt_iters=100, warm_gls_iters=0,
-                 dual_splice=True, gen_chunk=512, protocol=True):
+                 dual_splice=True, gen_chunk=512, protocol=True,
+                 table_note=None):
         self.n = n
         self.n_train, self.n_test, self.n_val = n_train, n_test, n_val
         self.n_total = n_train + n_test + n_val
@@ -54,6 +55,7 @@ class Pipeline:
         self.dual_splice = dual_splice
         self.gen_chunk = gen_chunk
         self.protocol = protocol
+        self.table_note = table_note
 
     # -- stages ---------------------------------------------------------
 
@@ -357,6 +359,8 @@ class Pipeline:
                 f"{r['mean_init_gap_pct']:.2f} | "
                 f"{'—' if mv is None else f'{mv:.0f}'} | "
                 f"{r['wall_s_per_instance']:.4f} |")
+        if self.table_note:
+            lines += ["", self.table_note]
         with open(ROOT / "benchmarks" / f"RESULTS_{self.name}.md", "w") as f:
             f.write("\n".join(lines) + "\n")
 

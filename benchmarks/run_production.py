@@ -23,8 +23,16 @@ PIPELINES = [
          budgets=(5, 100), opt_iters=100),
     dict(n=50, n_train=4000, n_val=400, n_test=1000,
          budgets=(5, 100), opt_iters=100),
+    # n=20: the reference 10 s budget is 32,717 accepted moves/instance —
+    # ~13x past where the 20-city search saturates at optimal for BOTH
+    # guides (and ~2 h of chip at the n=20 engine rate), so the calibrated
+    # protocol row is replaced by a 400-iter (~10k moves) row.
     dict(n=20, n_train=10000, n_val=500, n_test=1000,
-         budgets=(5, 100), opt_iters=100),
+         budgets=(5, 100, 400), opt_iters=100, protocol=False,
+         table_note=("10 s-protocol row omitted: the reference budget "
+                     "(32,717 moves/instance) saturates the 20-city search "
+                     "at optimal for both guides; the 400-iter row (~10k "
+                     "moves/instance) already shows the saturated regime.")),
 ]
 
 

@@ -98,7 +98,12 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
                          "(the kernel has no wall-clock chunking)")
     use_pallas = engine == "pallas" or (
         engine == "auto" and n_iters is not None and len(guides) == 1
-        and not first_improvement and jax.default_backend() == "tpu")
+        and not first_improvement and jax.default_backend() == "tpu"
+        # the whole-search kernel pads tour-space state to TPU tile sizes,
+        # so its per-(instance, iteration) cost is ~n-independent: measured
+        # 0.5k moves/s at n=20 vs 20k on the XLA engine (vs 95k pallas at
+        # n=100).  Small instances route to the XLA engine.
+        and n >= 50)
     if n_iters is not None and use_pallas:
         result = batched.run_fixed_pallas(Ds, guide_stack, init_tours,
                                           n_iters=n_iters,

@@ -159,12 +159,25 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     t0 = time.time()
-    tours, _, moves = pallas_gls.gls_pallas(
-        jnp.asarray(Ds), jnp.asarray(guide_stack[:, 0]),
-        jnp.asarray(init_tours), n_iters=n_iters,
-        perturbation_moves=perturbation_moves, interpret=interpret)
-    tours = np.asarray(tours)
-    moves_n = np.asarray(moves).astype(np.int64)
+    B = Ds.shape[0]
+    # The kernel runs the WHOLE batch x budget inside one launch (grid is
+    # sequential over B on one core), so launch wall-time ~ B * n_iters.
+    # The remote TPU worker kills launches that run for many minutes
+    # (observed at B=1000, n_iters~800).  Instances are independent, so
+    # slicing B is trajectory-identical; cap inst-iters per launch (~20-60 s
+    # at the measured n>=50 rates).
+    max_inst_iters = 150_000
+    chunk_B = max(1, min(B, max_inst_iters // max(n_iters, 1)))
+    parts = []
+    for s in range(0, B, chunk_B):
+        e = min(s + chunk_B, B)
+        parts.append(pallas_gls.gls_pallas(
+            jnp.asarray(Ds[s:e]), jnp.asarray(guide_stack[s:e, 0]),
+            jnp.asarray(init_tours[s:e]), n_iters=n_iters,
+            perturbation_moves=perturbation_moves, interpret=interpret))
+    tours = np.concatenate([np.asarray(p[0]) for p in parts])
+    moves_n = np.concatenate(
+        [np.asarray(p[2]) for p in parts]).astype(np.int64)
     t1 = time.time()
     B = Ds.shape[0]
     costs = Ds[np.arange(B)[:, None], tours[:, :-1], tours[:, 1:]].sum(-1)
