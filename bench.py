@@ -114,7 +114,7 @@ def main():
             rec = json.loads(ns.read_text()).get("inference", {})
             # prefer the impl with the best utilization of its own dtype
             # peak (edges/s is near-identical across dtypes; MFU is not)
-            best = max((r for r in rec.values() if "edges_per_s" in r),
+            best = max((r for r in rec.values() if "mfu_vs_v5e_peak" in r),
                        key=lambda r: r["mfu_vs_v5e_peak"], default=None)
             if best:
                 out["extra"] = {

@@ -298,6 +298,9 @@ class Pipeline:
                         np.mean(out["result"].chunk_moves[:, -1])),
                     "batch_wall_s": dt,
                     "wall_s_per_instance": dt / len(test_set),
+                    # engine that actually ran (auto-routing sends n<50 to
+                    # the XLA engine, evaluate.py:106) — ADVICE r3
+                    "engine": out["engine"],
                 }
                 print(f"[eval] {label}@{blabel}: mean gap "
                       f"{out['mean_gap']:.4f}%  ({dt:.1f}s batch)", flush=True)
@@ -343,7 +346,9 @@ class Pipeline:
             "",
             f"{self.n_total} uniform instances; reference solutions = {opt_kind}.",
             f"Labels: {label_desc}.  Model: reference defaults.",
-            f"Eval: {self.n_test} held-out instances, Pallas GLS engine, "
+            f"Eval: {self.n_test} held-out instances, "
+            f"{'/'.join(sorted({r.get('engine', '?') for r in results.values()}))}"
+            " GLS engine (as actually routed by evaluate()), "
             "20 perturbation moves/iter; gap vs the reference solution.",
             "",
             "| guide | outer iters | mean gap % | p95 gap % | optimal rate "

@@ -59,16 +59,22 @@ def main():
     g_exact = mean_grads("naive")
     jax.block_until_ready((g_fast, g_exact))
 
-    flat_f, treedef = jax.tree_util.tree_flatten(g_fast)
+    paths_f = jax.tree_util.tree_flatten_with_path(g_fast)[0]
     flat_e, _ = jax.tree_util.tree_flatten(g_exact)
-    rows = {}
     dot = nf = ne = 0.0
-    worst = 0.0
-    for i, (a, b) in enumerate(zip(flat_f, flat_e)):
+    worst, worst_leaf, worst_leaf_cos = 0.0, None, None
+    per_leaf = {}
+    for (path, a), b in zip(paths_f, flat_e):
+        name = jax.tree_util.keystr(path)
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         scale = np.abs(b).max() + 1e-30
         rel = np.abs(a - b).max() / scale
-        worst = max(worst, rel)
+        leaf_cos = float((a * b).sum()
+                         / (np.sqrt((a * a).sum() * (b * b).sum()) + 1e-30))
+        per_leaf[name] = {"max_rel_err": float(rel), "cosine": leaf_cos,
+                          "size": int(a.size)}
+        if rel > worst:
+            worst, worst_leaf, worst_leaf_cos = rel, name, leaf_cos
         dot += float((a * b).sum())
         nf += float((a * a).sum())
         ne += float((b * b).sum())
@@ -77,6 +83,12 @@ def main():
         "backend": jax.default_backend(),
         "config": "tsp100, B=4, shipped architecture, train-mode BN",
         "max_rel_err_any_leaf": float(worst),
+        # which leaf fails and whether its own direction is still right —
+        # a low per-leaf cosine would mean bf16 noise could skew training
+        # even with a near-1 global cosine (ADVICE r3)
+        "worst_leaf": worst_leaf,
+        "worst_leaf_cosine": worst_leaf_cos,
+        "per_leaf": per_leaf,
         "grad_cosine_similarity": float(cos),
     }
     print(json.dumps(out, indent=2))

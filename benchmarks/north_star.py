@@ -97,12 +97,18 @@ def bench_inference(n=100, B=128,
                 np.asarray(chained(params, state, xs))  # host fetch = fence
                 return time.perf_counter() - t0
 
+            assert reps > short, (
+                f"slope timing needs reps > short probe ({reps} vs {short})")
             run(short), run(reps)       # compile warm-up (not timed)
             t_s = min(run(short), run(short))
             t_l = min(run(reps), run(reps))
             dt = (t_l - t_s) / (reps - short)
+            timing_method = "slope"
             if dt <= 0:                  # noise floor — fall back to long run
+                # NOTE: re-includes the fixed tunnel round-trip the slope
+                # method cancels; marked so readers can tell (ADVICE r3)
                 dt = t_l / reps
+                timing_method = "long-run-fallback"
         except Exception as exc:  # noqa: BLE001 — record per-impl failures
             out[impl] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             print(f"[inference {impl}] FAILED: {out[impl]['error'][:120]}",
@@ -111,6 +117,7 @@ def bench_inference(n=100, B=128,
         peak = V5E_PEAK_BF16 if impl == "bf16" else V5E_PEAK_F32
         out[impl] = {
             "n": n, "batch": B, "s_per_forward": dt,
+            "timing_method": timing_method,
             "edges_per_s": B * E / dt,
             "edge_messages_per_s": edge_msgs / dt,
             "model_flops_per_s": flops / dt,

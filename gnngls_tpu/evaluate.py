@@ -131,6 +131,9 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
         # final-cost row per instance (batched.run_fixed_pallas)
         "trace_mode": ("final-only" if n_iters is not None and use_pallas
                        else "per-move"),
+        # the engine that actually ran (auto-routing can pick either; results
+        # tables must interpolate this, not assume — ADVICE r3)
+        "engine": ("pallas" if n_iters is not None and use_pallas else "xla"),
         "init_costs": init_costs,
         "opt_costs": opt,
         "result": result,

@@ -134,6 +134,7 @@ def run_wall_clock(Ds, guide_stack, init_tours, *, time_limit_s: float,
 
 def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
                      perturbation_moves: int = 20,
+                     max_inst_iters: Optional[int] = None,
                      interpret: Optional[bool] = None) -> BatchResult:
     """Fixed-budget GLS on the whole-search Pallas kernel (fast mode).
 
@@ -165,8 +166,12 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
     # The remote TPU worker kills launches that run for many minutes
     # (observed at B=1000, n_iters~800).  Instances are independent, so
     # slicing B is trajectory-identical; cap inst-iters per launch (~20-60 s
-    # at the measured n>=50 rates).
-    max_inst_iters = 150_000
+    # at the measured rates).  Per-inst-iter wall time grows ~linearly with
+    # n (n=256 runs ~15x slower per iter than n=100), so the cap scales as
+    # C/n; callers with unusual budgets can override (ADVICE r3).
+    n = Ds.shape[-1]
+    if max_inst_iters is None:
+        max_inst_iters = max(2_000, 15_000_000 // max(n, 1))
     chunk_B = max(1, min(B, max_inst_iters // max(n_iters, 1)))
     parts = []
     for s in range(0, B, chunk_B):
