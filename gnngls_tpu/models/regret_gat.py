@@ -140,6 +140,16 @@ def forward(
         import functools
 
         conv = functools.partial(gat_conv, fast=True)
+    elif gat_impl == "sep":  # separable sorted-prefix path (ops/gat_sep.py)
+        from ..ops.gat_sep import gat_conv_sep
+
+        conv = gat_conv_sep
+    elif gat_impl == "sep_fast":  # separable + bf16 payloads: throughput path
+        import functools
+
+        from ..ops.gat_sep import gat_conv_sep
+
+        conv = functools.partial(gat_conv_sep, fast=True)
     else:
         conv = gat_conv
     h = linear(params.embed, x)
