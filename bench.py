@@ -54,15 +54,15 @@ def bench_pallas(n, B, n_iters, n_chunks):
 
     sets = [make_set(None, B, n) for s in range(n_chunks + 1)]
     # warm-up compile (not timed)
-    _, _, m = pallas_gls.gls_pallas(sets[0][0], sets[0][0], sets[0][1],
-                                    n_iters=n_iters, perturbation_moves=20)
+    m = pallas_gls.gls_pallas(sets[0][0], sets[0][0], sets[0][1],
+                              n_iters=n_iters, perturbation_moves=20)[2]
     _ = np.asarray(m)
 
     moves, dt = 0.0, 0.0
     for Ds, inits in sets[1:]:
         t0 = time.perf_counter()
-        _, _, mv = pallas_gls.gls_pallas(Ds, Ds, inits, n_iters=n_iters,
-                                         perturbation_moves=20)
+        mv = pallas_gls.gls_pallas(Ds, Ds, inits, n_iters=n_iters,
+                                   perturbation_moves=20)[2]
         moves += float(np.asarray(mv).sum())  # host read forces completion
         dt += time.perf_counter() - t0
     return moves / dt, "pallas"

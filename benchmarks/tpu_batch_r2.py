@@ -37,13 +37,13 @@ def probe_large_n_pallas():
             try:
                 t0 = time.perf_counter()
                 tours, costs, moves = pallas_gls.gls_pallas(
-                    Ds, Ds, inits, n_iters=iters, perturbation_moves=20)
+                    Ds, Ds, inits, n_iters=iters, perturbation_moves=20)[:3]
                 _ = float(np.asarray(moves).sum())
                 compile_s = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 tours, costs, moves = pallas_gls.gls_pallas(
                     Ds * 1.0000001, Ds * 1.0000001, inits, n_iters=iters,
-                    perturbation_moves=20)
+                    perturbation_moves=20)[:3]
                 m1 = float(np.asarray(moves).sum())
                 dt = time.perf_counter() - t0
                 # validity: every tour is a permutation

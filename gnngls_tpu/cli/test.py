@@ -102,10 +102,10 @@ def main(argv=None):
           f"median: {float(np.median(out['gaps'])):.4f}%  "
           f"max: {float(out['gaps'].max()):.4f}%")
 
-    if out.get("trace_mode") == "final-only":
-        print("note: per-move traces are unavailable on the pallas engine; "
-              "the search-progress DataFrame carries one final-cost row per "
-              "instance (use --engine xla for full traces)")
+    if out.get("trace_mode") == "per-iteration":
+        print("note: the pallas engine traces at outer-iteration granularity "
+              "(one best-cost snapshot per iteration); use --engine xla for "
+              "per-move traces)")
     rows = ev.search_progress_records(test_set, out)
     path = ev.write_run_dataframe(rows, args.run_dir)
     print(f"search progress -> {path}")

@@ -73,8 +73,9 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
     batch_size=1.
 
     engine: "xla" (vmapped lax engine, per-move traces, exact reference
-    trajectories), "pallas" (whole-search VMEM kernel, ~4x faster, single
-    guide, no traces), or "auto" (pallas when eligible on TPU, else xla).
+    trajectories), "pallas" (whole-search VMEM kernel, ~4x faster, guide
+    cycling supported, per-outer-iteration traces), or "auto" (pallas when
+    eligible on TPU, else xla).
     """
     guides = list(guides)
     n = dataset.n_nodes
@@ -97,7 +98,7 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
         raise ValueError("engine='pallas' needs a fixed n_iters budget "
                          "(the kernel has no wall-clock chunking)")
     use_pallas = engine == "pallas" or (
-        engine == "auto" and n_iters is not None and len(guides) == 1
+        engine == "auto" and n_iters is not None
         and not first_improvement and jax.default_backend() == "tpu"
         # the whole-search kernel pads tour-space state to TPU tile sizes,
         # so its per-(instance, iteration) cost is ~n-independent: measured
@@ -127,9 +128,9 @@ def evaluate(dataset: TSPDataset, *, params=None, bn_state=None,
         "mean_gap": float(gaps.mean()),
         "best_costs": result.best_costs,
         "best_tours": result.best_tours,
-        # the pallas kernel keeps no per-move trace; its result carries one
-        # final-cost row per instance (batched.run_fixed_pallas)
-        "trace_mode": ("final-only" if n_iters is not None and use_pallas
+        # the pallas kernel traces at outer-iteration granularity (one
+        # best-cost snapshot per iteration); the XLA engine traces per move
+        "trace_mode": ("per-iteration" if n_iters is not None and use_pallas
                        else "per-move"),
         # the engine that actually ran (auto-routing can pick either; results
         # tables must interpolate this, not assume — ADVICE r3)

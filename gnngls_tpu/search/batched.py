@@ -140,23 +140,20 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
 
     ~4x the XLA engine's moves/s on TPU (the search state stays VMEM-resident
     instead of round-tripping hundreds of small HLOs per outer iteration).
-    Supports exactly one guide matrix and keeps no per-move trace — the
-    shipped pipeline's configuration; use `run_fixed` when you need traces,
-    guide cycling, or first-improvement mode.  The returned trace carries
-    exactly ONE entry per instance (the final cost), so downstream
-    search-progress DataFrames are final-only rather than empty; callers
-    should surface that (evaluate() sets result trace_mode='final-only').
-    Final costs are re-derived from the tours in plain f32 on the host (the
-    kernel's incremental tour-space accounting is validated to ~1e-6 but
+    Supports multi-guide cycling (guides[iter % G], reference
+    algorithms.py:147) and returns PER-OUTER-ITERATION traces: best cost and
+    cumulative accepted moves snapshotted after every outer iteration
+    (iteration granularity, vs the XLA engine's per-move granularity — use
+    `run_fixed` for per-move traces or first-improvement mode).  Trace
+    timestamps downstream interpolate across the single launch window by
+    move count.  Final costs are re-derived from the tours in plain f32 on
+    the host (the kernel's incremental accounting is validated to ~1e-6 but
     not bit-identical).
     """
     from . import pallas_gls
 
     Ds = np.asarray(Ds, dtype=np.float32)
     guide_stack = np.asarray(guide_stack, dtype=np.float32)
-    if guide_stack.shape[1] != 1:
-        raise ValueError("pallas engine supports exactly one guide "
-                         f"(got {guide_stack.shape[1]}); use run_fixed")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     t0 = time.time()
@@ -177,20 +174,22 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
     for s in range(0, B, chunk_B):
         e = min(s + chunk_B, B)
         parts.append(pallas_gls.gls_pallas(
-            jnp.asarray(Ds[s:e]), jnp.asarray(guide_stack[s:e, 0]),
+            jnp.asarray(Ds[s:e]), jnp.asarray(guide_stack[s:e]),
             jnp.asarray(init_tours[s:e]), n_iters=n_iters,
             perturbation_moves=perturbation_moves, interpret=interpret))
     tours = np.concatenate([np.asarray(p[0]) for p in parts])
     moves_n = np.concatenate(
         [np.asarray(p[2]) for p in parts]).astype(np.int64)
+    trace_costs = np.concatenate([np.asarray(p[3]) for p in parts])
     t1 = time.time()
     B = Ds.shape[0]
     costs = Ds[np.arange(B)[:, None], tours[:, :-1], tours[:, 1:]].sum(-1)
     return BatchResult(
         best_tours=tours,
         best_costs=costs.astype(np.float64),
-        trace_costs=costs.astype(np.float32)[:, None],  # final-only trace
-        trace_n=np.ones((B,), np.int64),
+        # per-outer-iteration best-cost snapshots from the kernel
+        trace_costs=trace_costs.astype(np.float32),
+        trace_n=np.full((B,), trace_costs.shape[1], np.int64),
         chunk_times=[t0, t1],
         chunk_moves=np.stack([np.zeros_like(moves_n), moves_n], axis=1),
     )

@@ -9,26 +9,42 @@ state never leaves VMEM:
 
   tour      (nt, 1) f32   (city ids are exact in f32 for any practical n)
   M         (nt, nt)      tour-space true weights   M[p,q] = D[t[p], t[q]]
-  MG        (nt, nt)      tour-space guide values
-  MP        (nt, nt)      tour-space penalties
+  MPc       (n, n)        CITY-space penalties (reference: edge penalties)
 
-M/MG/MP are built once (one-hot matmuls at HIGHEST precision) and then
-*maintained* under every accepted move by applying the move's position
-permutation with exact VPU mask-reductions — weights are moved, never
-recomputed, so there is no gather, no rebuild, and no drift.  All reductions,
-argmins (first-occurrence tie-break, matching the reference's scan order),
-one-hot comparisons and shifts are 2-D/3-D VPU ops; the only MXU use is the
-initial build.
+State-maintenance design (v2): penalties and guides are properties of city
+pairs, invariant under tour permutations — so they live in city space and are
+never permuted.  Only M is tour-space; after an accepted move the tour row is
+permuted (one (nt,nt)x(nt,1) matmul), the one-hot placement matrix
+P[p, c] = [tour[p] == c] is re-derived by a VPU compare, and M is rebuilt
+exactly as P D P^T (two MXU matmuls of 0/1-selection operands — bit-exact at
+HIGHEST precision, zero drift).  This halves the per-move matmul work of the
+v1 design (which permuted three (nt,nt) matrices per move) and removes two
+(nt,nt) matrices from VMEM.  Guided quantities are materialized on demand as
+ROWS: a row of the guided matrix Mg = M + k*P MPc P^T is
+row_i(M) + k * (p_i MPc) P^T, and tour-adjacent diagonals (penalty/guide
+values along the tour) are row-reductions of (P_shift MPc) ⊙ P.
+
+Multi-guide cycling (reference algorithms.py:147): the guides block is
+(G, n, n); outer iteration it uses guide it % G, selected by masked sum —
+city-space guides need no maintenance, so cycling costs nothing.
+
+Per-outer-iteration traces: the packed output carries best_cost and
+cumulative accepted-move snapshots after every outer iteration, so progress
+DataFrames are per-iteration rather than final-only.
 
 Semantics: identical accept rules to search/moves.py (EPS_CLOSE threshold,
-best-improvement, reference iteration order).  In interpret mode trajectories
-match the XLA engine exactly; on TPU hardware the initial HIGHEST-precision
-extraction can differ from f32 gathers by ~1 ulp, which may flip near-tie
-decisions — this is the documented "fast mode" of the framework (final costs
-are re-validated in f32 outside the kernel).
-
-Limitations (fall back to the XLA engine otherwise): one guide matrix
-(the shipped pipeline's configuration), no per-move trace buffer.
+best-improvement, reference iteration order), including the stale-endpoint-
+position and utility-before-bump quirks.  In interpret mode move SEQUENCES
+match the XLA engine exactly (accepts are delta-driven and deltas are exact
+data movement; tests/test_pallas_gls.py pins move counts and costs).  One
+documented divergence: the true cost recomputed after an accepted
+perturbation move (reference quirk algorithms.py:176) sums the same f32 edge
+values as moves.tour_cost but in XLA's reduction order for a different array
+shape, which can differ by ~1 ulp — so when two iterations reach cost-TIED
+best tours, the kernel may retain a different (equivalent-cost) best_tour
+than the engine.  Search trajectories are unaffected (cost feeds only
+best-tracking, never accept decisions); final costs are re-validated in f32
+outside the kernel.
 """
 
 from __future__ import annotations
@@ -86,17 +102,23 @@ def _first_min_2d(score):
 
 
 def _row_of(Mat, i):
-    """Extract row i (f32 scalar index) of (nt, nt) as (1, nt), mask-reduce."""
-    nt = Mat.shape[0]
-    rr, _ = _iota2(nt, nt)
+    """Extract row i (f32 scalar index) of (nr, nc) as (1, nc), mask-reduce."""
+    rr, _ = _iota2(*Mat.shape)
     return jnp.sum(jnp.where(rr == i, Mat, 0.0), axis=0, keepdims=True)
+
+
+def _offdiag_row(Mat, offset):
+    """(1, nt) with [0, q] = Mat[q + offset, q] (0 where out of range)."""
+    rr, cc = _iota2(*Mat.shape)
+    return jnp.sum(jnp.where(rr == cc + float(offset), Mat, 0.0), axis=0,
+                   keepdims=True)
 
 
 def _superdiag_row(Mat, offset=1):
     """(1, nt) with [0, q] = Mat[q, q+offset] (symmetric matrices only)."""
-    nt = Mat.shape[0]
-    rr, cc = _iota2(nt, nt)
-    return jnp.sum(jnp.where(rr == cc + offset, Mat, 0.0), axis=0, keepdims=True)
+    rr, cc = _iota2(*Mat.shape)
+    return jnp.sum(jnp.where(rr == cc + float(offset), Mat, 0.0), axis=0,
+                   keepdims=True)
 
 
 def _scalar_at(vec_row, idx):
@@ -110,10 +132,11 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _dot(a, b):
-    """Exact f32 matmul for 0/1 permutation operands.
+    """Exact f32 matmul for 0/1 selection operands.
 
     At HIGHEST precision the bf16x3 decomposition reconstructs each f32
-    product 1.0*x exactly, so permutation matmuls are bit-exact."""
+    product 1.0*x exactly, so one-hot contractions are bit-exact data
+    movement."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), precision=_HI)
 
 
@@ -133,25 +156,6 @@ def _roll_cols(x, shift):
 
 def _roll_rows(x, shift):
     return _dot(jnp.transpose(_shift_mat(x.shape[0], shift)), x)
-
-
-def _permute_all(tour, M, MG, MP, src_row):
-    """Apply position permutation p -> src[p] to the tour and all matrices.
-
-    src_row: (1, nt) f32 source indices.  new[p] = old[src[p]].
-    Exact data movement via 0/1 mask multiply-reduce (VPU only).
-    """
-    nt = M.shape[0]
-    rr, cc = _iota2(nt, nt)
-    PM = (cc == jnp.transpose(src_row)).astype(jnp.float32)  # (nt_p, nt_r)
-
-    tour_new = _dot(PM, tour)
-
-    def perm(A):
-        # B = PM A PM^T on the MXU (exact for permutation operands, see _dot)
-        return _dot(_dot(PM, A), jnp.transpose(PM))
-
-    return tour_new, perm(M), perm(MG), perm(MP)
 
 
 def _two_opt_src(i, j, nt):
@@ -176,10 +180,8 @@ def _two_opt_a2a_delta(Mat):
     nt = Mat.shape[0]
     n = nt - 1
     shifted = _roll_cols(_roll_rows(Mat, 1), 1)  # [i,j] -> M[i-1,j-1] (wraps masked)
-    c_row = _superdiag_row(Mat, 1)  # c[j] = M[j, j+1] ... careful: need M[j, j-1]
-    # c[j] = M[j, j-1] = M[j-1, j] (symmetry) = superdiag at offset -1 of row j:
-    # using rr == cc - 1 mask: sum_p M[p, q] (p == q - 1) = M[q-1, q] ✓
     rr, cc = _iota2(nt, nt)
+    # c[j] = M[j, j-1] = M[j-1, j] (symmetry): sum_p M[p, q] (p == q - 1)
     c_row = jnp.sum(jnp.where(rr == cc - 1.0, Mat, 0.0), axis=0, keepdims=True)
     delta = Mat + shifted - jnp.transpose(c_row) - c_row
     valid = (rr >= 1.0) & (cc <= n - 1.0) & (cc - rr >= 2.0) & (delta < -EPS_CLOSE)
@@ -207,76 +209,100 @@ def _relocate_a2a_delta(Mat):
     return jnp.where(valid, delta, _BIG)
 
 
-def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_outer, pmoves,
-                max_ls_iters, max_pert_iters):
+def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_guides, n_outer,
+                pmoves, max_ls_iters, max_pert_iters):
     nt = n + 1
     D = D_ref[0]
-    G = G_ref[0]
     tour0 = tour_ref[0]  # (nt, 1) f32
 
-    # --- initial build: one-hot P, then M = P D P^T (HIGHEST = near-f32) ---
     _, cols_n = _iota2(nt, n)
-    P = (tour0 == cols_n).astype(jnp.float32)  # (nt, n)
-    hi = jax.lax.Precision.HIGHEST
 
-    def build(A):
-        PA = jax.lax.dot_general(P, A, (((1,), (0,)), ((), ())), precision=hi)
-        return jax.lax.dot_general(PA, P, (((1,), (1,)), ((), ())), precision=hi)
+    def placement(tour):
+        """One-hot P[p, c] = [tour[p] == c], pure VPU compare."""
+        return (tour == cols_n).astype(jnp.float32)
 
-    M0 = build(D)
-    MG0 = build(G)
-    MP0 = jnp.zeros((nt, nt), jnp.float32)
+    def build_M(tour):
+        """M = P D P^T: exact 0/1-selection contractions (see _dot)."""
+        P = placement(tour)
+        return _dot(_dot(P, D), jnp.transpose(P))
 
+    def apply_move(tour, src_row):
+        """tour[p] <- tour[src[p]]; M rebuilt from scratch (no drift)."""
+        rr, cc = _iota2(nt, nt)
+        PM = (cc == jnp.transpose(src_row)).astype(jnp.float32)
+        tour = _dot(PM, tour)
+        return tour, build_M(tour)
+
+    M0 = build_M(tour0)
     init_cost = jnp.sum(_superdiag_row(M0, 1)[:, :n])  # pre-LS cost
     k = 0.1 * init_cost / n  # algorithms.py:137
 
     # --- local search: best 2-opt then best relocate until no improvement ---
     def ls(state):
-        tour, M, MG, MP, cost, moves = state
+        tour, M, cost, moves = state
 
         def body(s):
-            tour, M, MG, MP, cost, moves, _, it = s
+            tour, M, cost, moves, _, it = s
             d1, i1, j1 = _first_min_2d(_two_opt_a2a_delta(M))
             f1 = d1 < -EPS_CLOSE
             src1 = jnp.where(f1, _two_opt_src(i1, j1, nt), _two_opt_src(0.0, 0.0, nt))
-            tour, M, MG, MP = _permute_all(tour, M, MG, MP, src1)
+            tour, M = apply_move(tour, src1)
             cost = cost + jnp.where(f1, d1, 0.0)
             moves = moves + jnp.where(f1, 1.0, 0.0)
 
             d2, i2, j2 = _first_min_2d(_relocate_a2a_delta(M))
             f2 = d2 < -EPS_CLOSE
             src2 = jnp.where(f2, _relocate_src(i2, j2, nt), _two_opt_src(0.0, 0.0, nt))
-            tour, M, MG, MP = _permute_all(tour, M, MG, MP, src2)
+            tour, M = apply_move(tour, src2)
             cost = cost + jnp.where(f2, d2, 0.0)
             moves = moves + jnp.where(f2, 1.0, 0.0)
-            return tour, M, MG, MP, cost, moves, f1 | f2, it + 1
+            return tour, M, cost, moves, f1 | f2, it + 1
 
         def cond(s):
-            return s[6] & (s[7] < max_ls_iters)
+            return s[4] & (s[5] < max_ls_iters)
 
-        out = jax.lax.while_loop(cond, body,
-                                 (tour, M, MG, MP, cost, moves, True, 0))
-        return out[:6]
+        out = jax.lax.while_loop(cond, body, (tour, M, cost, moves, True, 0))
+        return out[:4]
 
-    def o2a_two_opt(Mg, i):
-        """Best 2-opt with one endpoint at position i: (delta, lo, hi)."""
+    # --- guided rows, materialized on demand from city-space penalties ---
+    def tour_diag_row(tour, Cmat, offset):
+        """(1, nt) row r with r[q] = Cmat[tour[q + offset], tour[q]].
+
+        P_shift selects the offset cities; (P_shift @ Cmat) ⊙ P row-reduces to
+        the tour-adjacent values of a city-space matrix (wrapped entries land
+        only where callers' validity masks exclude them)."""
+        P = placement(tour)
+        Ps = placement(_roll_rows(tour, -offset))
+        vals = jnp.sum(_dot(Ps, Cmat) * P, axis=1, keepdims=True)  # (nt, 1)
+        return jnp.transpose(vals)
+
+    def guided_row(M, MPc, tour, i):
+        """Row i of Mg = M + k * P MPc P^T via one-hot row contractions."""
+        P = placement(tour)
+        p_i = _row_of(P, i)  # (1, n) one-hot of city tour[i]
+        mp_row = _dot(_dot(p_i, MPc), jnp.transpose(P))  # (1, nt)
+        return _row_of(M, i) + k * mp_row
+
+    def o2a_two_opt(M, MPc, tour, i):
+        """Best 2-opt with one endpoint at position i under guided weights."""
         _, jj = _iota2(1, nt)
-        row_i = _row_of(Mg, i)
-        row_im1 = _row_of(Mg, jnp.maximum(i - 1.0, 0.0))
-        rr2, cc2 = _iota2(nt, nt)
-        c_row = jnp.sum(jnp.where(rr2 == cc2 - 1.0, Mg, 0.0), axis=0, keepdims=True)
+        row_i = guided_row(M, MPc, tour, i)
+        row_im1 = guided_row(M, MPc, tour, jnp.maximum(i - 1.0, 0.0))
+        c_row = (_offdiag_row(M, -1)
+                 + k * tour_diag_row(tour, MPc, -1))  # c[q] = Mg[q-1, q]
         delta = row_i + _roll_cols(row_im1, 1) - _scalar_at(c_row, i) - c_row
         valid = ((jj >= 1.0) & (jj <= n - 1.0) & (jnp.abs(i - jj) >= 2.0)
                  & (delta < -EPS_CLOSE))
         d, j = _first_min_scalar(jnp.where(valid, delta, _BIG))
         return d, jnp.minimum(i, j), jnp.maximum(i, j)
 
-    def o2a_relocate(Mg, i):
+    def o2a_relocate(M, MPc, tour, i):
         _, jj = _iota2(1, nt)
-        rr2, cc2 = _iota2(nt, nt)
-        d1_row = jnp.sum(jnp.where(rr2 == cc2 + 1.0, Mg, 0.0), axis=0, keepdims=True)
-        d2_row = jnp.sum(jnp.where(rr2 == cc2 + 2.0, Mg, 0.0), axis=0, keepdims=True)
-        row_i = _row_of(Mg, i)
+        row_i = guided_row(M, MPc, tour, i)
+        d1_row = (_offdiag_row(M, 1)
+                  + k * tour_diag_row(tour, MPc, 1))   # d1[q] = Mg[q+1, q]
+        d2_row = (_offdiag_row(M, 2)
+                  + k * tour_diag_row(tour, MPc, 2))   # d2[q] = Mg[q+2, q]
         rem_i = (-_scalar_at(_roll_cols(d1_row, 1), i) - _scalar_at(d1_row, i)
                  + _scalar_at(_roll_cols(d2_row, 1), i))
         ins_gt = -d1_row + row_i + _roll_cols(row_i, -1)  # j > i
@@ -287,88 +313,123 @@ def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_outer, pmoves,
         d, j = _first_min_scalar(jnp.where(valid, delta, _BIG))
         return d, i, j
 
-    def perturbation(state):
+    def perturbation(state, Gm):
         def body(s):
-            tour, M, MG, MP, cost, moves, pmade, it = s
-            # max-utility tour edge: guide/(1+penalty) over positions 0..n-1
-            g1 = _superdiag_row(MG, 1)
-            p1 = _superdiag_row(MP, 1)
+            tour, M, MPc, cost, moves, pmade, it = s
+            # max-utility tour edge: guide/(1+penalty), penalties BEFORE bump
+            g1 = tour_diag_row(tour, Gm, -1)   # g1[q] = Gm[t[q-1], t[q]] ...
+            # ... shifted: we want guide of edge (t[q], t[q+1]) at q — use +1
+            g1 = _roll_cols(g1, -1)            # g1[q] = Gm[t[q], t[q+1]]
+            p1 = _roll_cols(tour_diag_row(tour, MPc, -1), -1)
             _, qq = _iota2(1, nt)
             util = jnp.where(qq <= n - 1.0, g1 / (1.0 + p1), -_BIG)
             _, kk = _first_max_scalar(util)
             tr = jnp.transpose(tour)  # (1, nt)
             u = _scalar_at(tr, kk)
             v = _scalar_at(tr, kk + 1.0)
-            # penalty bump on every position pair mapping to (u, v)
-            mu = (tour == u).astype(jnp.float32)  # (nt, 1)
-            mv = (tour == v).astype(jnp.float32)
-            MP = MP + mu * jnp.transpose(mv) + mv * jnp.transpose(mu)
+            # city-space penalty bump on edge (u, v): symmetric outer products
+            rr_n, cc_n2 = _iota2(n, n)
+            MPc = MPc + ((rr_n == u) & (cc_n2 == v)).astype(jnp.float32) \
+                      + ((rr_n == v) & (cc_n2 == u)).astype(jnp.float32)
 
-            def endpoint(node, tour, M, MG, MP, cost, moves, pmade):
+            def endpoint(node, tour, M, MPc, cost, moves, pmade):
                 active = node != 0.0
                 pos = jnp.min(jnp.where(
                     jnp.transpose(tour) == node,
                     jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
                     .astype(jnp.float32), _BIGI))
-                Mg = M + k * MP
-                d, lo, hi2 = o2a_two_opt(Mg, pos)
+                d, lo, hi2 = o2a_two_opt(M, MPc, tour, pos)
                 acc = active & (d < -EPS_CLOSE)
                 src = jnp.where(acc, _two_opt_src(lo, hi2, nt),
                                 _two_opt_src(0.0, 0.0, nt))
-                tour, M, MG, MP = _permute_all(tour, M, MG, MP, src)
+                tour, M = apply_move(tour, src)
                 cost = jnp.where(acc, jnp.sum(_superdiag_row(M, 1)[:, :n]), cost)
                 moves = moves + jnp.where(acc, 1.0, 0.0)
                 pmade = pmade + jnp.where(acc, 1.0, 0.0)
 
-                Mg = M + k * MP
-                d, i2, j2 = o2a_relocate(Mg, pos)
+                # reference quirk: relocate reuses the pre-2-opt position
+                d, i2, j2 = o2a_relocate(M, MPc, tour, pos)
                 acc = active & (d < -EPS_CLOSE)
                 src = jnp.where(acc, _relocate_src(i2, j2, nt),
                                 _two_opt_src(0.0, 0.0, nt))
-                tour, M, MG, MP = _permute_all(tour, M, MG, MP, src)
+                tour, M = apply_move(tour, src)
                 cost = jnp.where(acc, jnp.sum(_superdiag_row(M, 1)[:, :n]), cost)
                 moves = moves + jnp.where(acc, 1.0, 0.0)
                 pmade = pmade + jnp.where(acc, 1.0, 0.0)
-                return tour, M, MG, MP, cost, moves, pmade
+                return tour, M, MPc, cost, moves, pmade
 
-            tour, M, MG, MP, cost, moves, pmade = endpoint(
-                u, tour, M, MG, MP, cost, moves, pmade)
-            tour, M, MG, MP, cost, moves, pmade = endpoint(
-                v, tour, M, MG, MP, cost, moves, pmade)
-            return tour, M, MG, MP, cost, moves, pmade, it + 1
+            tour, M, MPc, cost, moves, pmade = endpoint(
+                u, tour, M, MPc, cost, moves, pmade)
+            tour, M, MPc, cost, moves, pmade = endpoint(
+                v, tour, M, MPc, cost, moves, pmade)
+            return tour, M, MPc, cost, moves, pmade, it + 1
 
         def cond(s):
-            return (s[6] < pmoves) & (s[7] < max_pert_iters)
+            return (s[5] < pmoves) & (s[6] < max_pert_iters)
 
-        tour, M, MG, MP, cost, moves = state
+        tour, M, MPc, cost, moves = state
         out = jax.lax.while_loop(cond, body,
-                                 (tour, M, MG, MP, cost, moves, 0.0, 0))
-        return out[:6]
+                                 (tour, M, MPc, cost, moves, 0.0, 0))
+        return out[:5]
 
     # --- run ---
-    state = ls((tour0, M0, MG0, MP0, init_cost, 0.0))
-    tour, M, MG, MP, cost, moves = state
+    MPc0 = jnp.zeros((n, n), jnp.float32)
+    tour, M, cost, moves = ls((tour0, M0, init_cost, 0.0))
     best_tour, best_cost = tour, cost
 
-    def outer(_, carry):
-        tour, M, MG, MP, cost, moves, best_tour, best_cost = carry
-        tour, M, MG, MP, cost, moves = perturbation((tour, M, MG, MP, cost, moves))
-        tour, M, MG, MP, cost, moves = ls((tour, M, MG, MP, cost, moves))
+    trace_c0 = jnp.zeros((max(n_outer, 1), 1), jnp.float32)
+    trace_m0 = jnp.zeros((max(n_outer, 1), 1), jnp.float32)
+    rr_tr = jax.lax.broadcasted_iota(jnp.int32, (max(n_outer, 1), 1), 0) \
+        .astype(jnp.float32)
+
+    def outer(it, carry):
+        tour, M, MPc, cost, moves, best_tour, best_cost, tr_c, tr_m = carry
+        # guide cycling (algorithms.py:147): city-space guides are static,
+        # selection is a masked sum over the G block
+        if n_guides == 1:
+            Gm = G_ref[0, 0]
+        else:
+            sel = (it % n_guides).astype(jnp.float32)
+            Gm = sum(jnp.where(sel == float(g), G_ref[0, g],
+                               jnp.zeros((n, n), jnp.float32))
+                     for g in range(n_guides))
+        tour, M, MPc, cost, moves = perturbation(
+            (tour, M, MPc, cost, moves), Gm)
+        tour, M, cost, moves = ls((tour, M, cost, moves))
         better = cost < best_cost
         best_tour = jnp.where(better, tour, best_tour)
         best_cost = jnp.where(better, cost, best_cost)
-        return tour, M, MG, MP, cost, moves, best_tour, best_cost
+        it_f = it.astype(jnp.float32)
+        tr_c = jnp.where(rr_tr == it_f, best_cost, tr_c)
+        tr_m = jnp.where(rr_tr == it_f, moves, tr_m)
+        return tour, M, MPc, cost, moves, best_tour, best_cost, tr_c, tr_m
 
-    out = jax.lax.fori_loop(0, n_outer, outer,
-                            (tour, M, MG, MP, cost, moves, best_tour, best_cost))
-    # packed output rows: [0, nt) = best tour, nt = best cost, nt+1 = moves
+    out = jax.lax.fori_loop(
+        0, n_outer, outer,
+        (tour, M, MPc0, cost, moves, best_tour, best_cost, trace_c0, trace_m0))
+    best_tour, best_cost, moves = out[5], out[6], out[4]
+    tr_c, tr_m = out[7], out[8]
+
+    # packed output rows: [0, nt) best tour; nt best cost; nt+1 moves;
+    # [nt+2, nt+2+n_outer) per-iteration best cost;
+    # [nt+2+n_outer, nt+2+2*n_outer) per-iteration cumulative moves.
     # (per-grid-cell scalar outputs would violate the TPU block tiling rule;
-    #  padding via selection matmul — Mosaic rejects unaligned concatenate)
-    rp, cp = _iota2(nt + 2, nt)
-    padded = _dot((rp == cp).astype(jnp.float32), out[6])
-    rr1 = jax.lax.broadcasted_iota(jnp.int32, (nt + 2, 1), 0).astype(jnp.float32)
-    out_ref[0] = jnp.where(rr1 < nt, padded,
-                           jnp.where(rr1 == nt, out[7], out[5]))
+    #  padding via selection matmuls — Mosaic rejects unaligned concatenate)
+    n_tr = max(n_outer, 1)
+    OUT = nt + 2 + 2 * n_tr
+    rp, cp = _iota2(OUT, nt)
+    padded = _dot((rp == cp).astype(jnp.float32), best_tour)
+    rp_c, cp_c = _iota2(OUT, n_tr)
+    pad_c = _dot((rp_c - float(nt + 2) == cp_c).astype(jnp.float32), tr_c)
+    pad_m = _dot((rp_c - float(nt + 2 + n_tr) == cp_c).astype(jnp.float32),
+                 tr_m)
+    rr1 = jax.lax.broadcasted_iota(jnp.int32, (OUT, 1), 0).astype(jnp.float32)
+    out_col = jnp.where(rr1 < nt, padded,
+                        jnp.where(rr1 == nt, best_cost,
+                                  jnp.where(rr1 == nt + 1, moves,
+                                            jnp.where(rr1 < nt + 2 + n_tr,
+                                                      pad_c, pad_m))))
+    out_ref[0] = out_col
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "perturbation_moves",
@@ -377,8 +438,12 @@ def gls_pallas(Ds, guides, init_tours, *, n_iters: int,
                perturbation_moves: int = 20, interpret: bool = False):
     """Fast-mode batched GLS, one VMEM-resident program per instance.
 
-    Ds, guides: (B, n, n) f32; init_tours: (B, n+1) int32.
-    Returns (best_tours (B, n+1) i32, best_costs (B,) f32, moves (B,) f32).
+    Ds: (B, n, n) f32; guides: (B, n, n) or (B, G, n, n) f32 (cycled per
+    outer iteration, reference algorithms.py:147); init_tours: (B, n+1) i32.
+    Returns (best_tours (B, n+1) i32, best_costs (B,) f32, moves (B,) f32,
+    trace_costs (B, n_iters) f32, trace_moves (B, n_iters) f32) where the
+    traces snapshot best cost / cumulative accepted moves after each outer
+    iteration.
 
     Note: the per-instance accepted-move counter accumulates in an f32 lane
     of the packed output row, so it is integer-exact only up to 2**24
@@ -388,24 +453,32 @@ def gls_pallas(Ds, guides, init_tours, *, n_iters: int,
     """
     B, n, _ = Ds.shape
     nt = n + 1
+    if guides.ndim == 3:
+        guides = guides[:, None]
+    G = guides.shape[1]
     tours_f = init_tours.astype(jnp.float32)[..., None]  # (B, nt, 1)
 
     kernel = functools.partial(
-        _gls_kernel, n=n, n_outer=n_iters, pmoves=float(perturbation_moves),
+        _gls_kernel, n=n, n_guides=G, n_outer=n_iters,
+        pmoves=float(perturbation_moves),
         max_ls_iters=10 * n, max_pert_iters=3 * perturbation_moves)
 
+    n_tr = max(n_iters, 1)
+    OUT = nt + 2 + 2 * n_tr
     packed = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, n, n), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, G, n, n), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec((1, nt, 1), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, nt + 2, 1), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, nt + 2, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, OUT, 1), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, OUT, 1), jnp.float32),
         interpret=interpret,
     )(Ds, guides, tours_f)
 
     packed = packed[..., 0]
-    return (packed[:, :nt].astype(jnp.int32), packed[:, nt], packed[:, nt + 1])
+    return (packed[:, :nt].astype(jnp.int32), packed[:, nt], packed[:, nt + 1],
+            packed[:, nt + 2:nt + 2 + n_tr][:, :n_iters],
+            packed[:, nt + 2 + n_tr:][:, :n_iters])
