@@ -275,6 +275,7 @@ class Pipeline:
             print(f"[eval] 10s-protocol calibration: n_iters={b10}")
         results = {}
         for n_iters, blabel in budgets:
+            budget_gaps = {}
             for label, kw in (
                 ("regret_pred", dict(params=params, bn_state=bn_state,
                                      model_cfg=cfg, guides=["regret_pred"])),
@@ -284,6 +285,7 @@ class Pipeline:
                 out = evaluate(test_set, time_limit=None, n_iters=n_iters,
                                perturbation_moves=20, **kw)
                 dt = time.time() - t0
+                budget_gaps[label] = np.asarray(out["gaps"])
                 init_gap = float(
                     (out["init_costs"] / out["opt_costs"] - 1).mean() * 100)
                 results[f"{label}@{blabel}"] = {
@@ -304,6 +306,20 @@ class Pipeline:
                 }
                 print(f"[eval] {label}@{blabel}: mean gap "
                       f"{out['mean_gap']:.4f}%  ({dt:.1f}s batch)", flush=True)
+            # paired head-to-head at this budget: bootstrap CIs + sign-flip
+            # p-value on the SAME test instances (VERDICT r3 item 6)
+            if len(budget_gaps) == 2:
+                from gnngls_tpu.stats import paired_compare
+
+                cmp_ = paired_compare(budget_gaps["regret_pred"],
+                                      budget_gaps["weight"])
+                results[f"paired@{blabel}"] = dict(cmp_, budget=blabel,
+                                                   kind="paired_comparison")
+                print(f"[eval] paired@{blabel}: diff "
+                      f"{cmp_['mean_diff']:+.4f}pp "
+                      f"[{cmp_['diff_ci95'][0]:+.4f}, "
+                      f"{cmp_['diff_ci95'][1]:+.4f}] "
+                      f"p={cmp_['p_value_paired_sign_flip']:.4f}", flush=True)
         return results
 
     def ship(self, test_set):
@@ -356,6 +372,8 @@ class Pipeline:
             "|---|---|---|---|---|---|---|---|",
         ]
         for r in results.values():
+            if r.get("kind") == "paired_comparison":
+                continue
             mv = r.get("mean_accepted_moves")
             lines.append(
                 f"| {r['guide']} | {r.get('budget', r['n_iters'])} | "
@@ -364,6 +382,30 @@ class Pipeline:
                 f"{r['mean_init_gap_pct']:.2f} | "
                 f"{'—' if mv is None else f'{mv:.0f}'} | "
                 f"{r['wall_s_per_instance']:.4f} |")
+        paired = [r for r in results.values()
+                  if r.get("kind") == "paired_comparison"]
+        if paired:
+            lines += [
+                "",
+                "## Paired regret_pred vs weight (same instances, per budget)",
+                "",
+                "| budget | mean diff (pp) | 95% CI | p (sign-flip) "
+                "| % regret strictly better |",
+                "|---|---|---|---|---|",
+            ]
+            for r in paired:
+                lines.append(
+                    f"| {r['budget']} | {r['mean_diff']:+.4f} | "
+                    f"[{r['diff_ci95'][0]:+.4f}, {r['diff_ci95'][1]:+.4f}] | "
+                    f"{r['p_value_paired_sign_flip']:.4f} | "
+                    f"{100*r['frac_a_strictly_better']:.1f}% |")
+            lines += [
+                "",
+                "Negative diff = regret-guided better.  CI: percentile "
+                "bootstrap over instances (10k resamples); p: two-sided "
+                "paired sign-flip permutation test (20k permutations) on "
+                "per-instance gap differences (gnngls_tpu/stats.py).",
+            ]
         if self.table_note:
             lines += ["", self.table_note]
         with open(ROOT / "benchmarks" / f"RESULTS_{self.name}.md", "w") as f:

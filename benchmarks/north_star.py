@@ -46,7 +46,8 @@ def model_flops_per_edge(cfg, n):
 
 
 def bench_inference(n=100, B=128,
-                    impls=("fast", "bf16", "pallas", "pallas_mxu"), reps=16):
+                    impls=("sep_fast", "sep", "fast", "bf16", "pallas"),
+                    reps=16):
     """Full-model forward throughput per gat_impl.
 
     Methodology (remote-TPU tunnel — two traps, both hit in earlier rounds):
@@ -114,14 +115,23 @@ def bench_inference(n=100, B=128,
             print(f"[inference {impl}] FAILED: {out[impl]['error'][:120]}",
                   flush=True)
             continue
-        peak = V5E_PEAK_BF16 if impl == "bf16" else V5E_PEAK_F32
+        peak = (V5E_PEAK_BF16 if impl in ("bf16", "sep_fast")
+                else V5E_PEAK_F32)
         out[impl] = {
             "n": n, "batch": B, "s_per_forward": dt,
             "timing_method": timing_method,
             "edges_per_s": B * E / dt,
             "edge_messages_per_s": edge_msgs / dt,
+            # NOTE: flops here are DENSE-EQUIVALENT (the attention work the
+            # city-group einsum formulation executes).  The sep paths
+            # (ops/gat_sep.py) algorithmically remove the O(K) aggregation
+            # per edge, so their "MFU" is algorithmic throughput vs the dense
+            # formulation's speed-of-light, in the flash-attention accounting
+            # tradition — not hardware utilization of executed flops.
             "model_flops_per_s": flops / dt,
             "mfu_vs_v5e_peak": flops / dt / peak,
+            "flops_accounting": ("dense-equivalent" if impl.startswith("sep")
+                                 else "executed"),
         }
         print(f"[inference {impl}] {dt*1e3:.1f} ms/fwd  "
               f"{B*E/dt:.3g} edges/s  {edge_msgs/dt:.3g} edge-msgs/s  "

@@ -91,14 +91,13 @@ def build_topology(n: int) -> LineGraphTopology:
     slot_u = (us * (n - 1) + (vs - 1)).astype(np.int32)
     slot_v = (vs * (n - 1) + us).astype(np.int32)
 
-    # Explicit neighbor lists: S_u \ {e} then S_v \ {e}.
-    K = 2 * (n - 2)
-    nbr = np.empty((E, K), dtype=np.int32)
-    for e in range(E):
-        u, v = edges[e]
-        su = city_edges[u][city_edges[u] != e]
-        sv = city_edges[v][city_edges[v] != e]
-        nbr[e] = np.concatenate([su, sv])
+    # Explicit neighbor lists: S_u \ {e} then S_v \ {e}.  Vectorized: each
+    # group row contains e exactly once, so a boolean drop reshapes cleanly.
+    su_all = city_edges[us]  # (E, n-1)
+    sv_all = city_edges[vs]
+    su = su_all[su_all != eids[:, None]].reshape(E, n - 2)
+    sv = sv_all[sv_all != eids[:, None]].reshape(E, n - 2)
+    nbr = np.concatenate([su, sv], axis=1).astype(np.int32)
 
     return LineGraphTopology(
         n=n,

@@ -49,6 +49,7 @@ class TrainConfig:
     val_on_train: bool = True  # reference quirk train.py:137
     bug_compat_bce_target: bool = True  # datasets.py:94 quirk
     depth_from_heads: bool = True  # models.py:60 quirk
+    gat_impl: str = "fast"  # attention path; 'sep' = O(n^2) separable
 
     def to_params_json(self) -> dict:
         """Reference-style params.json payload (train.py:165-168)."""
@@ -97,7 +98,8 @@ def train_model(train_set: TSPDataset, val_set: TSPDataset, cfg: TrainConfig,
         target_key = "regret_unscaled" if cfg.bug_compat_bce_target else "in_solution"
 
     train_step, eval_step = make_train_step(
-        model_cfg, n, optimizer, target=cfg.target, pos_weight=pos_weight)
+        model_cfg, n, optimizer, target=cfg.target, pos_weight=pos_weight,
+        gat_impl=cfg.gat_impl)
 
     with open(run_dir / "params.json", "w") as f:
         json.dump(cfg.to_params_json(), f, indent=2)

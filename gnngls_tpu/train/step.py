@@ -50,16 +50,20 @@ def bce_with_logits_loss(pred, target, pos_weight):
 
 
 def make_train_fns(cfg: M.RegretGNNConfig, n: int, optimizer, *,
-                   target: str = "regret", pos_weight: float = 1.0):
+                   target: str = "regret", pos_weight: float = 1.0,
+                   gat_impl: str = "fast"):
     """Raw (un-jitted) train/eval step functions over (B, E, .) batches.
 
     Callers jit these — plainly (make_train_step) or with device-mesh
-    shardings (parallel.train_dp)."""
+    shardings (parallel.train_dp).  gat_impl selects the attention path
+    (models.forward); 'sep' / 'sep_fast' use the O(n^2) separable
+    formulation (exact gradients, tests/test_gat_sep.py)."""
     topo = build_topology(n)
 
     def loss_fn(params, bn_state, x, y, train: bool):
         pred, new_bn = M.forward(params, bn_state, topo, x,
-                                 n_heads=cfg.n_heads, train=train)
+                                 n_heads=cfg.n_heads, train=train,
+                                 gat_impl=gat_impl)
         if target == "regret":
             loss = mse_loss(pred, y)
         else:
@@ -81,10 +85,12 @@ def make_train_fns(cfg: M.RegretGNNConfig, n: int, optimizer, *,
 
 
 def make_train_step(cfg: M.RegretGNNConfig, n: int, optimizer, *,
-                    target: str = "regret", pos_weight: float = 1.0):
+                    target: str = "regret", pos_weight: float = 1.0,
+                    gat_impl: str = "fast"):
     """Jitted single-device (train_step, eval_step)."""
     train_fn, eval_fn = make_train_fns(cfg, n, optimizer, target=target,
-                                       pos_weight=pos_weight)
+                                       pos_weight=pos_weight,
+                                       gat_impl=gat_impl)
     return jax.jit(train_fn), jax.jit(eval_fn)
 
 

@@ -135,6 +135,54 @@ def test_sep_fast_mode_close():
     assert sep_max < 1.5 * ref_max + 1e-6
 
 
+def test_sep_gradients_match_naive():
+    """The separable path is fully differentiable (sort/gather/threshold are
+    a.e.-smooth) and its gradients match the naive oracle's to f32 noise —
+    this is what licenses gat_impl='sep' as a TRAINING path."""
+    n, n_heads, head_dim = 12, 4, 8
+    topo = build_topology(n)
+    rng = np.random.default_rng(0)
+    c_in = n_heads * head_dim
+    params = _params(rng, c_in, n_heads, head_dim)
+    x = jnp.asarray(rng.normal(size=(2, topo.n_edges, c_in)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(2, topo.n_edges, c_in)), jnp.float32)
+
+    def loss(fn):
+        return lambda p, x: jnp.sum(fn(p, topo, x, n_heads) * cot)
+
+    g_ref = jax.grad(loss(gat_conv_naive), argnums=(0, 1))(params, x)
+    g_sep = jax.grad(loss(gat_conv_sep), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sep)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 2e-5 * (np.abs(a).max() + 1e-6)
+
+
+def test_sep_train_step_smoke():
+    """One optimization step with gat_impl='sep' moves the loss like the
+    default path does (training integration)."""
+    from gnngls_tpu.models import regret_gat as M
+    from gnngls_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+    n = 10
+    cfg = M.RegretGNNConfig(in_dim=1, n_heads=2, embed_dim=16, hidden_dim=32)
+    params, bn = M.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer()
+    state = TrainState(params, bn, opt.init(params))
+    E = build_topology(n).n_edges
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((4, E, 1)), jnp.float32)
+    y = jnp.asarray(rng.random((4, E, 1)), jnp.float32)
+    losses = {}
+    for impl in ("fast", "sep"):
+        step, _ = make_train_step(cfg, n, opt, gat_impl=impl)
+        s1, l1 = step(state, x, y)
+        _, l2 = step(s1, x, y)
+        losses[impl] = (float(l1), float(l2))
+        assert float(l2) < float(l1)
+    np.testing.assert_allclose(losses["sep"][0], losses["fast"][0], rtol=1e-4)
+
+
 def test_sep_matches_grouped():
     """Cross-check against the city-group einsum path as well (same merge)."""
     n, n_heads, head_dim = 14, 4, 8
