@@ -101,6 +101,14 @@ def our_layers(params, state, topo, x, n_heads, gat_impl):
         import functools
 
         conv = functools.partial(gat_conv, fast=True)
+    elif gat_impl == "sep":
+        from gnngls_tpu.ops.gat_sep import gat_conv_sep as conv
+    elif gat_impl == "sep_fast":
+        import functools
+
+        from gnngls_tpu.ops.gat_sep import gat_conv_sep
+
+        conv = functools.partial(gat_conv_sep, fast=True)
     else:
         conv = gat_conv
 
