@@ -121,6 +121,10 @@ def main():
                     "inference_edges_per_s": round(best["edges_per_s"], 1),
                     "inference_mfu_vs_v5e_peak": round(
                         best["mfu_vs_v5e_peak"], 4),
+                    # 'dense-equivalent' for the separable paths (they remove
+                    # attention flops algorithmically; see north_star.py)
+                    "inference_flops_accounting": best.get(
+                        "flops_accounting", "executed"),
                 }
         except Exception:
             pass

@@ -292,6 +292,9 @@ def write_md(results):
                     f"| {r['edges_per_s']:.3g} | "
                     f"{r['edge_messages_per_s']:.3g} | "
                     f"{r['mfu_vs_v5e_peak']*100:.1f}% |")
+        for impl, r in results["inference"].items():
+            if isinstance(r, dict) and r.get("note"):
+                lines += ["", f"**{impl}**: {r['note']}"]
         lines += [
             "",
             "Methodology: OS-entropy inputs (uncacheable by the remote-"
