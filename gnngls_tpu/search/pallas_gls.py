@@ -465,6 +465,15 @@ def gls_pallas(Ds, guides, init_tours, *, n_iters: int,
 
     n_tr = max(n_iters, 1)
     OUT = nt + 2 + 2 * n_tr
+    # Large n needs more scoped VMEM than the 16 MB default (the live set is
+    # ~20 (nt,nt) f32 matrices: n=500 wants 23.6 MB); v5e has far more
+    # physical VMEM — raise the cap for the big-instance regime only.
+    compiler_params = None
+    if n >= 256 and not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
     packed = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -476,6 +485,7 @@ def gls_pallas(Ds, guides, init_tours, *, n_iters: int,
         out_specs=pl.BlockSpec((1, OUT, 1), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, OUT, 1), jnp.float32),
         interpret=interpret,
+        compiler_params=compiler_params,
     )(Ds, guides, tours_f)
 
     packed = packed[..., 0]
