@@ -150,6 +150,14 @@ def forward(
         from ..ops.gat_sep import gat_conv_sep
 
         conv = functools.partial(gat_conv_sep, fast=True)
+    elif gat_impl in ("pallas_sep", "pallas_sep_fast"):
+        # threshold-mask VMEM kernel (ops/pallas_gat_sep.py)
+        import functools
+
+        from ..ops.pallas_gat_sep import gat_conv_pallas_sep
+
+        conv = functools.partial(gat_conv_pallas_sep,
+                                 fast=gat_impl.endswith("fast"))
     else:
         conv = gat_conv
     h = linear(params.embed, x)
