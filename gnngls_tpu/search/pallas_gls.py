@@ -11,18 +11,18 @@ state never leaves VMEM:
   M         (nt, nt)      tour-space true weights   M[p,q] = D[t[p], t[q]]
   MPc       (n, n)        CITY-space penalties (reference: edge penalties)
 
-State-maintenance design (v2): penalties and guides are properties of city
-pairs, invariant under tour permutations — so they live in city space and are
-never permuted.  Only M is tour-space; after an accepted move the tour row is
-permuted (one (nt,nt)x(nt,1) matmul), the one-hot placement matrix
-P[p, c] = [tour[p] == c] is re-derived by a VPU compare, and M is rebuilt
-exactly as P D P^T (two MXU matmuls of 0/1-selection operands — bit-exact at
-HIGHEST precision, zero drift).  This halves the per-move matmul work of the
-v1 design (which permuted three (nt,nt) matrices per move) and removes two
-(nt,nt) matrices from VMEM.  Guided quantities are materialized on demand as
-ROWS: a row of the guided matrix Mg = M + k*P MPc P^T is
-row_i(M) + k * (p_i MPc) P^T, and tour-adjacent diagonals (penalty/guide
-values along the tour) are row-reductions of (P_shift MPc) ⊙ P.
+State-maintenance design (v3 hybrid): penalties and guides are properties of
+city pairs, invariant under tour permutations — so the authoritative copies
+live in city space and are never permuted.  Only M is tour-space; after an
+accepted move the tour row is permuted (one (nt,nt)x(nt,1) matmul), the
+one-hot placement matrix P[p, c] = [tour[p] == c] is re-derived by a VPU
+compare, and M is rebuilt exactly as P D P^T (two MXU matmuls of
+0/1-selection operands — bit-exact, zero drift).  During PERTURBATION a
+tour-space penalty cache MP = P MPc P^T rides along (rebuilt with M per
+accepted move, bumped in lock-step with MPc), so the o2a guided scans read
+rows of Mg = M + k*MP directly with VPU mask-reductions and rolls — v2
+rematerialized guided rows from city space with one-hot matmuls per scan,
+which measured 29% slower on hardware.
 
 Multi-guide cycling (reference algorithms.py:147): the guides block is
 (G, n, n); outer iteration it uses guide it % G, selected by masked sum —
@@ -50,12 +50,26 @@ outside the kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .moves import EPS_CLOSE
+
+# Tuning knobs (benchmarks/gls_tune.py A/Bs these on hardware; round-5
+# measurements at tsp100/B=1024: highest+matmul 67.9k moves/s, +pltpu rolls
+# 74.5k, +decomp3 dots 82.7k, +v3 hybrid perturbation 96.4k — all bit-exact
+# vs the same seeded reference run):
+#   GLS_DOT=decomp3 (default) data operand split into 3 exact bf16 terms,
+#                   contracted with the bf16 0/1 selector -> 3 MXU passes
+#                   instead of HIGHEST's 6; GLS_DOT=highest for the fallback.
+#   GLS_ROLL=pltpu  (default) static-shift rolls as tpu.DynamicRotate (VPU)
+#                   instead of permutation matmuls; GLS_ROLL=matmul fallback.
+_DOT_MODE = os.environ.get("GLS_DOT", "decomp3")
+_ROLL_MODE = os.environ.get("GLS_ROLL", "pltpu")
 
 _BIG = 3.0e38
 _BIGI = 1.0e9
@@ -131,12 +145,39 @@ def _scalar_at(vec_row, idx):
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _dot(a, b):
+def _bdot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _split3(x):
+    """Exact 3-term bf16 decomposition: x == h + m + l (f32 sums)."""
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _dot(a, b, onehot=None):
     """Exact f32 matmul for 0/1 selection operands.
 
-    At HIGHEST precision the bf16x3 decomposition reconstructs each f32
+    At HIGHEST precision the bf16x6 decomposition reconstructs each f32
     product 1.0*x exactly, so one-hot contractions are bit-exact data
-    movement."""
+    movement.  `onehot` marks which operand is the 0/1 selector: under
+    GLS_DOT=decomp3 the data operand is manually split into 3 exact bf16
+    terms and contracted with the bf16 selector (exact: 0/1 is one bf16
+    term, and one-hot rows touch a single f32 value whose 3-term split
+    re-sums exactly) — 3 MXU passes instead of HIGHEST's 6.  (Mosaic
+    rejects per-operand precision, hence the manual split.)"""
+    if _DOT_MODE == "decomp3" and onehot == "lhs":
+        sel = a.astype(jnp.bfloat16)
+        h, m, l = _split3(b)
+        return _bdot(sel, h) + _bdot(sel, m) + _bdot(sel, l)
+    if _DOT_MODE == "decomp3" and onehot == "rhs":
+        sel = b.astype(jnp.bfloat16)
+        h, m, l = _split3(a)
+        return _bdot(h, sel) + _bdot(m, sel) + _bdot(l, sel)
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), precision=_HI)
 
 
@@ -151,11 +192,15 @@ def _shift_mat(nt, shift):
 
 
 def _roll_cols(x, shift):
-    return _dot(x, _shift_mat(x.shape[1], shift))
+    if _ROLL_MODE == "pltpu":
+        return pltpu.roll(x, shift % x.shape[1], 1)
+    return _dot(x, _shift_mat(x.shape[1], shift), onehot="rhs")
 
 
 def _roll_rows(x, shift):
-    return _dot(jnp.transpose(_shift_mat(x.shape[0], shift)), x)
+    if _ROLL_MODE == "pltpu":
+        return pltpu.roll(x, shift % x.shape[0], 0)
+    return _dot(jnp.transpose(_shift_mat(x.shape[0], shift)), x, onehot="lhs")
 
 
 def _two_opt_src(i, j, nt):
@@ -224,13 +269,14 @@ def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_guides, n_outer,
     def build_M(tour):
         """M = P D P^T: exact 0/1-selection contractions (see _dot)."""
         P = placement(tour)
-        return _dot(_dot(P, D), jnp.transpose(P))
+        return _dot(_dot(P, D, onehot="lhs"), jnp.transpose(P),
+                    onehot="rhs")
 
     def apply_move(tour, src_row):
         """tour[p] <- tour[src[p]]; M rebuilt from scratch (no drift)."""
         rr, cc = _iota2(nt, nt)
         PM = (cc == jnp.transpose(src_row)).astype(jnp.float32)
-        tour = _dot(PM, tour)
+        tour = _dot(PM, tour, onehot="lhs")
         return tour, build_M(tour)
 
     M0 = build_M(tour0)
@@ -264,7 +310,14 @@ def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_guides, n_outer,
         out = jax.lax.while_loop(cond, body, (tour, M, cost, moves, True, 0))
         return out[:4]
 
-    # --- guided rows, materialized on demand from city-space penalties ---
+    # --- guided rows from tour-space caches (v3 hybrid) ---------------------
+    # Perturbation keeps a tour-space penalty cache MP = P MPc P^T alongside
+    # the authoritative city-space MPc (which guide cycling needs).  o2a scans
+    # then read Mg = M + k*MP rows directly (VPU mask-reductions + rolls, no
+    # per-scan one-hot matmuls — the v2 guided-row rematerialization was the
+    # measured 29% regression vs v1).  MP is rebuilt with M after each
+    # accepted move (2 extra one-hot matmuls) and bumped in lock-step with
+    # MPc (VPU outer products, covering the duplicated depot position).
     def tour_diag_row(tour, Cmat, offset):
         """(1, nt) row r with r[q] = Cmat[tour[q + offset], tour[q]].
 
@@ -273,36 +326,40 @@ def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_guides, n_outer,
         only where callers' validity masks exclude them)."""
         P = placement(tour)
         Ps = placement(_roll_rows(tour, -offset))
-        vals = jnp.sum(_dot(Ps, Cmat) * P, axis=1, keepdims=True)  # (nt, 1)
+        vals = jnp.sum(_dot(Ps, Cmat, onehot="lhs") * P, axis=1,
+                       keepdims=True)  # (nt, 1)
         return jnp.transpose(vals)
 
-    def guided_row(M, MPc, tour, i):
-        """Row i of Mg = M + k * P MPc P^T via one-hot row contractions."""
+    def build_T(tour, Cmat):
+        """P Cmat P^T: tour-space view of a city-space matrix (exact)."""
         P = placement(tour)
-        p_i = _row_of(P, i)  # (1, n) one-hot of city tour[i]
-        mp_row = _dot(_dot(p_i, MPc), jnp.transpose(P))  # (1, nt)
-        return _row_of(M, i) + k * mp_row
+        return _dot(_dot(P, Cmat, onehot="lhs"), jnp.transpose(P),
+                    onehot="rhs")
 
-    def o2a_two_opt(M, MPc, tour, i):
+    def apply_move_p(tour, src_row, MPc):
+        """apply_move that also rebuilds the tour-space penalty cache."""
+        rr, cc = _iota2(nt, nt)
+        PM = (cc == jnp.transpose(src_row)).astype(jnp.float32)
+        tour = _dot(PM, tour, onehot="lhs")
+        return tour, build_M(tour), build_T(tour, MPc)
+
+    def o2a_two_opt(Mg, i):
         """Best 2-opt with one endpoint at position i under guided weights."""
         _, jj = _iota2(1, nt)
-        row_i = guided_row(M, MPc, tour, i)
-        row_im1 = guided_row(M, MPc, tour, jnp.maximum(i - 1.0, 0.0))
-        c_row = (_offdiag_row(M, -1)
-                 + k * tour_diag_row(tour, MPc, -1))  # c[q] = Mg[q-1, q]
+        row_i = _row_of(Mg, i)
+        row_im1 = _row_of(Mg, jnp.maximum(i - 1.0, 0.0))
+        c_row = _offdiag_row(Mg, -1)  # c[q] = Mg[q-1, q]
         delta = row_i + _roll_cols(row_im1, 1) - _scalar_at(c_row, i) - c_row
         valid = ((jj >= 1.0) & (jj <= n - 1.0) & (jnp.abs(i - jj) >= 2.0)
                  & (delta < -EPS_CLOSE))
         d, j = _first_min_scalar(jnp.where(valid, delta, _BIG))
         return d, jnp.minimum(i, j), jnp.maximum(i, j)
 
-    def o2a_relocate(M, MPc, tour, i):
+    def o2a_relocate(Mg, i):
         _, jj = _iota2(1, nt)
-        row_i = guided_row(M, MPc, tour, i)
-        d1_row = (_offdiag_row(M, 1)
-                  + k * tour_diag_row(tour, MPc, 1))   # d1[q] = Mg[q+1, q]
-        d2_row = (_offdiag_row(M, 2)
-                  + k * tour_diag_row(tour, MPc, 2))   # d2[q] = Mg[q+2, q]
+        row_i = _row_of(Mg, i)
+        d1_row = _offdiag_row(Mg, 1)   # d1[q] = Mg[q+1, q]
+        d2_row = _offdiag_row(Mg, 2)   # d2[q] = Mg[q+2, q]
         rem_i = (-_scalar_at(_roll_cols(d1_row, 1), i) - _scalar_at(d1_row, i)
                  + _scalar_at(_roll_cols(d2_row, 1), i))
         ins_gt = -d1_row + row_i + _roll_cols(row_i, -1)  # j > i
@@ -315,12 +372,12 @@ def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_guides, n_outer,
 
     def perturbation(state, Gm):
         def body(s):
-            tour, M, MPc, cost, moves, pmade, it = s
+            tour, M, MP, MPc, cost, moves, pmade, it = s
             # max-utility tour edge: guide/(1+penalty), penalties BEFORE bump
             g1 = tour_diag_row(tour, Gm, -1)   # g1[q] = Gm[t[q-1], t[q]] ...
             # ... shifted: we want guide of edge (t[q], t[q+1]) at q — use +1
             g1 = _roll_cols(g1, -1)            # g1[q] = Gm[t[q], t[q+1]]
-            p1 = _roll_cols(tour_diag_row(tour, MPc, -1), -1)
+            p1 = _superdiag_row(MP, 1)         # p1[q] = MP[q, q+1]
             _, qq = _iota2(1, nt)
             util = jnp.where(qq <= n - 1.0, g1 / (1.0 + p1), -_BIG)
             _, kk = _first_max_scalar(util)
@@ -331,46 +388,52 @@ def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_guides, n_outer,
             rr_n, cc_n2 = _iota2(n, n)
             MPc = MPc + ((rr_n == u) & (cc_n2 == v)).astype(jnp.float32) \
                       + ((rr_n == v) & (cc_n2 == u)).astype(jnp.float32)
+            # lock-step bump of the tour-space cache (masks catch the
+            # duplicated depot position when u or v is city 0)
+            mu = (tour == u).astype(jnp.float32)  # (nt, 1)
+            mv = (tour == v).astype(jnp.float32)
+            MP = MP + mu * jnp.transpose(mv) + mv * jnp.transpose(mu)
 
-            def endpoint(node, tour, M, MPc, cost, moves, pmade):
+            def endpoint(node, tour, M, MP, cost, moves, pmade):
                 active = node != 0.0
                 pos = jnp.min(jnp.where(
                     jnp.transpose(tour) == node,
                     jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
                     .astype(jnp.float32), _BIGI))
-                d, lo, hi2 = o2a_two_opt(M, MPc, tour, pos)
+                d, lo, hi2 = o2a_two_opt(M + k * MP, pos)
                 acc = active & (d < -EPS_CLOSE)
                 src = jnp.where(acc, _two_opt_src(lo, hi2, nt),
                                 _two_opt_src(0.0, 0.0, nt))
-                tour, M = apply_move(tour, src)
+                tour, M, MP = apply_move_p(tour, src, MPc)
                 cost = jnp.where(acc, jnp.sum(_superdiag_row(M, 1)[:, :n]), cost)
                 moves = moves + jnp.where(acc, 1.0, 0.0)
                 pmade = pmade + jnp.where(acc, 1.0, 0.0)
 
                 # reference quirk: relocate reuses the pre-2-opt position
-                d, i2, j2 = o2a_relocate(M, MPc, tour, pos)
+                d, i2, j2 = o2a_relocate(M + k * MP, pos)
                 acc = active & (d < -EPS_CLOSE)
                 src = jnp.where(acc, _relocate_src(i2, j2, nt),
                                 _two_opt_src(0.0, 0.0, nt))
-                tour, M = apply_move(tour, src)
+                tour, M, MP = apply_move_p(tour, src, MPc)
                 cost = jnp.where(acc, jnp.sum(_superdiag_row(M, 1)[:, :n]), cost)
                 moves = moves + jnp.where(acc, 1.0, 0.0)
                 pmade = pmade + jnp.where(acc, 1.0, 0.0)
-                return tour, M, MPc, cost, moves, pmade
+                return tour, M, MP, cost, moves, pmade
 
-            tour, M, MPc, cost, moves, pmade = endpoint(
-                u, tour, M, MPc, cost, moves, pmade)
-            tour, M, MPc, cost, moves, pmade = endpoint(
-                v, tour, M, MPc, cost, moves, pmade)
-            return tour, M, MPc, cost, moves, pmade, it + 1
+            tour, M, MP, cost, moves, pmade = endpoint(
+                u, tour, M, MP, cost, moves, pmade)
+            tour, M, MP, cost, moves, pmade = endpoint(
+                v, tour, M, MP, cost, moves, pmade)
+            return tour, M, MP, MPc, cost, moves, pmade, it + 1
 
         def cond(s):
-            return (s[5] < pmoves) & (s[6] < max_pert_iters)
+            return (s[6] < pmoves) & (s[7] < max_pert_iters)
 
         tour, M, MPc, cost, moves = state
+        MP0 = build_T(tour, MPc)
         out = jax.lax.while_loop(cond, body,
-                                 (tour, M, MPc, cost, moves, 0.0, 0))
-        return out[:5]
+                                 (tour, M, MP0, MPc, cost, moves, 0.0, 0))
+        return out[0], out[1], out[3], out[4], out[5]
 
     # --- run ---
     MPc0 = jnp.zeros((n, n), jnp.float32)
@@ -418,11 +481,12 @@ def _gls_kernel(D_ref, G_ref, tour_ref, out_ref, *, n, n_guides, n_outer,
     n_tr = max(n_outer, 1)
     OUT = nt + 2 + 2 * n_tr
     rp, cp = _iota2(OUT, nt)
-    padded = _dot((rp == cp).astype(jnp.float32), best_tour)
+    padded = _dot((rp == cp).astype(jnp.float32), best_tour, onehot="lhs")
     rp_c, cp_c = _iota2(OUT, n_tr)
-    pad_c = _dot((rp_c - float(nt + 2) == cp_c).astype(jnp.float32), tr_c)
+    pad_c = _dot((rp_c - float(nt + 2) == cp_c).astype(jnp.float32), tr_c,
+                 onehot="lhs")
     pad_m = _dot((rp_c - float(nt + 2 + n_tr) == cp_c).astype(jnp.float32),
-                 tr_m)
+                 tr_m, onehot="lhs")
     rr1 = jax.lax.broadcasted_iota(jnp.int32, (OUT, 1), 0).astype(jnp.float32)
     out_col = jnp.where(rr1 < nt, padded,
                         jnp.where(rr1 == nt, best_cost,
