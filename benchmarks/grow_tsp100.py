@@ -51,7 +51,8 @@ def wip_restore(dst_dir: pathlib.Path, pattern: str):
             shutil.copy2(p, dst)
 
 
-def stage_data(n_extra: int) -> dict:
+def stage_data(n_extra: int, label_chunk: int = 125,
+               max_label_chunks: int | None = 2) -> dict:
     from gnngls_tpu.data import generate, labels
 
     merged = RUN / "extra_labeled.npz"
@@ -71,12 +72,24 @@ def stage_data(n_extra: int) -> dict:
     wip_sync(gen_dir, "gen_*.npz")
     print(f"[grow] generate done ({time.time()-t0:.0f}s)", flush=True)
 
+    # Short label bouts with clean process exits: the axon worker dies after
+    # ~4-5 min of sustained dispatch load (round 4/5 logs), so each process
+    # computes a bounded number of small shards and exits 3; the supervisor
+    # relaunches until complete.
     lab_dir = RUN / "label_shards"
     wip_restore(lab_dir, "labels_*.npz")
-    data = labels.warm_labels_chunked(
-        data, lab_dir, chunk=250, warm_gls_iters=0, dual_splice=True,
-        perturbation_moves=20, verbose=True)
+    out = labels.warm_labels_chunked(
+        data, lab_dir, chunk=label_chunk, warm_gls_iters=0, dual_splice=True,
+        perturbation_moves=20, max_chunks=max_label_chunks, verbose=True)
     wip_sync(lab_dir, "labels_*.npz")
+    if out is None:
+        n_done = sum(
+            int(np.load(p)["regret"].shape[0])
+            for p in lab_dir.glob("labels_*.npz") if ".tmp" not in p.name)
+        print(f"[grow] labels partial ({n_done}/{n_extra}) — clean exit "
+              f"for worker restart", flush=True)
+        sys.exit(3)
+    data = out
     generate.save_dataset(merged, data)
     shutil.copy2(merged, WIP / "extra_labeled.npz")
     shutil.rmtree(gen_dir, ignore_errors=True)
@@ -117,10 +130,15 @@ def main(argv=None):
     ap.add_argument("--extra", type=int, default=5300)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--stage", choices=("all", "data", "train"), default="all")
+    ap.add_argument("--label-chunk", type=int, default=125)
+    ap.add_argument("--max-label-chunks", type=int, default=2,
+                    help="new label shards per process (<=0: unbounded)")
     args = ap.parse_args(argv)
 
     RUN.mkdir(parents=True, exist_ok=True)
-    extra = stage_data(args.extra)
+    extra = stage_data(args.extra, args.label_chunk,
+                       args.max_label_chunks if args.max_label_chunks > 0
+                       else None)
     if args.stage == "data":
         return
 

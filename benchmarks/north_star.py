@@ -46,7 +46,8 @@ def model_flops_per_edge(cfg, n):
 
 
 def bench_inference(n=100, B=128,
-                    impls=("sep_fast", "sep", "fast", "bf16", "pallas"),
+                    impls=("pallas_sep_fast", "pallas_sep", "sep_fast",
+                           "sep", "fast", "bf16", "pallas"),
                     reps=16):
     """Full-model forward throughput per gat_impl.
 
@@ -259,14 +260,20 @@ def bench_scaling():
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--part", choices=("tpu", "scaling"), required=True)
+    ap.add_argument("--part", choices=("tpu", "inference", "scaling"),
+                    required=True)
+    ap.add_argument("--impls", default=None,
+                    help="comma list; measured rows MERGE into the recorded "
+                         "inference dict (others keep their last recording)")
     args = ap.parse_args(argv)
 
     path = ROOT / "benchmarks" / "RESULTS_north_star.json"
     results = json.loads(path.read_text()) if path.exists() else {}
-    if args.part == "tpu":
-        results["inference"] = bench_inference()
-        results["gls"] = bench_gls()
+    if args.part in ("tpu", "inference"):
+        kw = {"impls": tuple(args.impls.split(","))} if args.impls else {}
+        results.setdefault("inference", {}).update(bench_inference(**kw))
+        if args.part == "tpu":
+            results["gls"] = bench_gls()
     else:
         results["weak_scaling_virtual_mesh"] = bench_scaling()
     path.write_text(json.dumps(results, indent=2))

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-5 label-phase supervisor: re-launch the resumable grow_tsp100 data
+# stage until the merged artifact exists.  Each attempt labels a bounded
+# bout (2 x 125-instance shards, ~4.5 min — under the axon worker's
+# ~5-min sustained-load crash horizon) then exits 3; crash losses are
+# bounded by one 125-instance shard.
+cd /root/repo
+LOG=runs_grow_tsp100.log
+DONE=runs/tsp100_xl/extra_labeled.npz
+for attempt in $(seq 1 90); do
+  if [ -f "$DONE" ]; then
+    echo "=== labels complete (attempt $attempt) $(date +%H:%M:%S)" | tee -a "$LOG"
+    exit 0
+  fi
+  echo "=== R5 L$attempt $(date +%H:%M:%S)" >> "$LOG"
+  timeout 3600 python benchmarks/grow_tsp100.py --extra 8000 --stage data >> "$LOG" 2>&1
+  rc=$?
+  if [ "$rc" -eq 3 ]; then
+    sleep 5   # clean bout exit: relaunch quickly
+  else
+    sleep 45  # crash: let the stale TPU claim time out
+  fi
+done
+echo "=== supervisor gave up $(date +%H:%M:%S)" | tee -a "$LOG"
+exit 1

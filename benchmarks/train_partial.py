@@ -36,6 +36,15 @@ def assemble_extra():
     n_lab = 0
     regs, tours, opts = [], [], []
     for p in lab:
+        # label shards must form a contiguous prefix: coords below are taken
+        # as gen[:n_lab], so a missing middle shard would silently pair every
+        # later instance with the wrong labels (ADVICE r4)
+        offset = int(pathlib.Path(p).stem.split("_")[1])
+        if offset != n_lab:
+            raise RuntimeError(
+                f"label shard {p} starts at {offset} but {n_lab} labels "
+                f"precede it — non-contiguous shards would mislabel "
+                f"instances; fix/remove shards after the gap")
         with np.load(p) as z:
             regs.append(z["regret"])
             tours.append(z["opt_tour"])

@@ -29,7 +29,8 @@ def edge_features(coords: np.ndarray) -> np.ndarray:
 def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
                         warm_gls_iters: int = 0, dual_splice: bool = True,
                         perturbation_moves: int = 20,
-                        verbose: bool = False) -> dict:
+                        max_chunks: int | None = None,
+                        verbose: bool = False) -> dict | None:
     """Production regret labels: warm-start forced-edge oracle, crash-resumable.
 
     Per instance, every forced-edge problem is solved warm-started from the
@@ -40,11 +41,20 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
     for solution edges (gnngls/datasets.py:23-34).
 
     Shards of `chunk` instances are written to `shard_dir` as labels_<s>.npz
-    (atomic rename); on restart completed shards are skipped — parity with
-    the reference's per-instance pickle resumability
+    (atomic rename); on restart the existing shard PREFIX is loaded by its
+    filename offsets (shard sizes may vary across runs — the chunk size is a
+    crash-loss bound, not a layout invariant) and labeling continues from its
+    end — parity with the reference's per-instance pickle resumability
     (scripts/generate_instances.py:57).
 
-    Updates data's regret/opt_tour/opt_cost/in_solution in place and returns it.
+    `max_chunks` bounds the NEW chunks computed by this call; when the bound
+    stops the run early the function returns None (callers exit cleanly and
+    relaunch — the round-4/5 axon worker dies after ~4-5 min of sustained
+    dispatch load, so short bouts with process restarts beat running to the
+    crash and losing the in-flight chunk).
+
+    Updates data's regret/opt_tour/opt_cost/in_solution in place and returns
+    it, or None if max_chunks stopped the run before completion.
     """
     import pathlib
     import tempfile
@@ -66,20 +76,7 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
     opt_tour = np.asarray(data["opt_tour"], dtype=np.int32).copy()
     opt = Ds[np.arange(N)[:, None], opt_tour[:, :-1], opt_tour[:, 1:]].sum(-1)
 
-    for s in range(0, N, chunk):
-        part = shard_dir / f"labels_{s:08d}.npz"
-        e = min(s + chunk, N)
-        if part.exists():
-            with np.load(part) as z:
-                check_shard_meta(
-                    z, part, e - s, "regret", n_nodes=n, chunk=chunk,
-                    warm_gls_iters=warm_gls_iters,
-                    perturbation_moves=perturbation_moves,
-                    dual_splice=dual_splice)
-                regret[s:e] = z["regret"]
-                opt_tour[s:e] = z["opt_tour"]
-                opt[s:e] = z["opt_cost"]
-            continue
+    def compute_shard(s, e):
         t0 = time.time()
         for i in range(s, e):
             costs, used, tours = solvers.warm_fixed_edge_costs(
@@ -93,9 +90,10 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
             r = (costs - opt[i]) / opt[i]
             r[tour_to_edge_vector(n, opt_tour[i])] = 0.0
             regret[i] = np.maximum(r, 0.0)
+        part = shard_dir / f"labels_{s:08d}.npz"
         tmp = part.with_suffix(".tmp.npz")
         np.savez(tmp, regret=regret[s:e], opt_tour=opt_tour[s:e],
-                 opt_cost=opt[s:e], meta_n_nodes=str(n), meta_chunk=str(chunk),
+                 opt_cost=opt[s:e], meta_n_nodes=str(n),
                  meta_warm_gls_iters=str(warm_gls_iters),
                  meta_perturbation_moves=str(perturbation_moves),
                  meta_dual_splice=str(dual_splice))
@@ -103,6 +101,66 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
         if verbose:
             print(f"[labels] {e}/{N} ({(time.time()-t0)/(e-s):.2f}s/inst)",
                   flush=True)
+
+    # resume: walk existing shards by their filename offsets (sizes may vary
+    # across runs — the chunk size is a crash-loss bound, not a layout
+    # invariant); gaps from lost shards are recomputed with exactly-sized
+    # fill shards, then labeling continues past the last shard
+    existing = []
+    for part in sorted(shard_dir.glob("labels_*.npz")):
+        if ".tmp" in part.name:  # interrupted atomic write
+            continue
+        existing.append((int(part.stem.split("_")[1]), part))
+    done, new_chunks = 0, 0
+    budget_hit = False
+
+    def budget():
+        nonlocal new_chunks
+        if max_chunks is not None and new_chunks >= max_chunks:
+            return True
+        new_chunks += 1
+        return False
+
+    for offset, part in existing:
+        if offset >= N:
+            break
+        if offset < done:
+            raise ValueError(
+                f"overlapping label shards at {part} (starts {offset}, "
+                f"{done} labels already loaded) — remove stale shards")
+        while done < offset and not budget_hit:  # fill a lost-shard gap
+            if budget():
+                budget_hit = True
+                break
+            e = min(done + chunk, offset)
+            compute_shard(done, e)
+            done = e
+        if budget_hit:
+            break
+        with np.load(part) as z:
+            k = z["regret"].shape[0]
+            check_shard_meta(
+                z, part, k, "regret", n_nodes=n,
+                warm_gls_iters=warm_gls_iters,
+                perturbation_moves=perturbation_moves,
+                dual_splice=dual_splice)
+            if offset + k > N:
+                raise ValueError(
+                    f"label shard {part} extends past the dataset "
+                    f"({offset}+{k} > {N}) — stale shard dir?")
+            regret[offset:offset + k] = z["regret"]
+            opt_tour[offset:offset + k] = z["opt_tour"]
+            opt[offset:offset + k] = z["opt_cost"]
+        done = offset + k
+    while done < N and not budget_hit:
+        if budget():
+            budget_hit = True
+            break
+        e = min(done + chunk, N)
+        compute_shard(done, e)
+        done = e
+    if budget_hit:
+        return None  # bounded bout: caller exits cleanly and relaunches
 
     data["regret"] = regret
     data["opt_tour"] = opt_tour

@@ -229,15 +229,21 @@ def search_progress_records(dataset: TSPDataset, out: dict,
             f"(cap={cap}): moves beyond the cap overwrote the last slot and "
             f"the progress DataFrame under-reports them — raise trace_cap "
             f"for full reference-fidelity traces", stacklevel=2)
+    trace_moves = getattr(res, "trace_moves", None)
     for b in range(len(dataset)):
         n_tr = int(min(res.trace_n[b], res.trace_costs.shape[1]))
         cum = res.chunk_moves[b]
         for m in range(n_tr):
-            # which chunk did move m land in?
-            c = int(np.searchsorted(cum[1:], m + 1, side="left"))
+            # cumulative accepted moves at trace row m: for per-move traces
+            # row m IS move m+1; per-iteration traces carry the kernel's
+            # cumulative counter (ADVICE r4: using the row index compressed
+            # all snapshots into the start of the launch window)
+            mv = (m + 1) if trace_moves is None else int(trace_moves[b, m])
+            # which chunk did that move land in?
+            c = int(np.searchsorted(cum[1:], mv, side="left"))
             c = min(c, len(times) - 2)
             lo, hi = cum[c], cum[min(c + 1, len(cum) - 1)]
-            frac = (m + 1 - lo) / max(hi - lo, 1)
+            frac = (mv - lo) / max(hi - lo, 1)
             t = times[c] + frac * (times[min(c + 1, len(times) - 1)] - times[c])
             rows.append({
                 "instance": names[b],

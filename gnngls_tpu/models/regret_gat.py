@@ -150,14 +150,17 @@ def forward(
         from ..ops.gat_sep import gat_conv_sep
 
         conv = functools.partial(gat_conv_sep, fast=True)
-    elif gat_impl in ("pallas_sep", "pallas_sep_fast"):
-        # threshold-mask VMEM kernel (ops/pallas_gat_sep.py)
+    elif gat_impl.startswith(("pallas_sep", "pallas_sep_fast")):
+        # threshold-mask VMEM kernel (ops/pallas_gat_sep.py); an optional
+        # "@<gc>" suffix tunes city groups per grid cell ("pallas_sep@10")
         import functools
 
         from ..ops.pallas_gat_sep import gat_conv_pallas_sep
 
+        base, _, gc = gat_impl.partition("@")
         conv = functools.partial(gat_conv_pallas_sep,
-                                 fast=gat_impl.endswith("fast"))
+                                 fast=base.endswith("fast"),
+                                 **({"group_chunk": int(gc)} if gc else {}))
     else:
         conv = gat_conv
     h = linear(params.embed, x)

@@ -58,12 +58,18 @@ def _sep_kernel(el_ref, er_ref, hv_ref, m_ref, z_ref, num_ref, *,
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (gc, K, K), 1)
     offdiag = iota_j != iota_i
 
+    cc_k = jax.lax.broadcasted_iota(jnp.int32, (gc, K), 1)
     for h in range(n_heads):
         el = el_ref[0, :, :, h]  # (gc, K)
         er = er_ref[0, :, :, h]
         M = jnp.max(el, axis=1, keepdims=True)               # (gc, 1)
-        M2 = jnp.max(jnp.where(el == M, _NEG, el), axis=1, keepdims=True)
-        maxel_noti = jnp.where(el == M, M2, M)               # (gc, K)
+        # mask exactly the FIRST argmax occurrence when computing the second
+        # max (as gat_sep.py does): masking every tied element would give
+        # M2 = -inf on constant rows and overflow B/D = exp(er + M - m)
+        amax = jnp.min(jnp.where(el == M, cc_k, K), axis=1, keepdims=True)
+        is_star = cc_k == amax
+        M2 = jnp.max(jnp.where(is_star, _NEG, el), axis=1, keepdims=True)
+        maxel_noti = jnp.where(is_star, M2, M)               # (gc, K)
         arg = maxel_noti + er
         m = jnp.where(arg > 0, arg, LEAKY_SLOPE * arg)       # row max, exact
 

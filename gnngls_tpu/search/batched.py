@@ -56,6 +56,11 @@ class BatchResult(NamedTuple):
     trace_n: np.ndarray  # (B,)
     chunk_times: List[float]  # wall-clock at each chunk boundary
     chunk_moves: np.ndarray  # (B, n_chunks) cumulative accepted moves per chunk
+    # For per-ITERATION traces (run_fixed_pallas): cumulative accepted moves
+    # at each trace snapshot, so timestamp interpolation maps snapshots to
+    # their true position in the launch window (ADVICE r4).  None for
+    # per-move traces (trace row m IS move m+1).
+    trace_moves: Optional[np.ndarray] = None  # (B, cap) or None
 
 
 def make_guide_stack(Ds, guides: List[str], regret_pred: Optional[np.ndarray]):
@@ -181,6 +186,7 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
     moves_n = np.concatenate(
         [np.asarray(p[2]) for p in parts]).astype(np.int64)
     trace_costs = np.concatenate([np.asarray(p[3]) for p in parts])
+    trace_moves = np.concatenate([np.asarray(p[4]) for p in parts])
     t1 = time.time()
     B = Ds.shape[0]
     costs = Ds[np.arange(B)[:, None], tours[:, :-1], tours[:, 1:]].sum(-1)
@@ -192,6 +198,7 @@ def run_fixed_pallas(Ds, guide_stack, init_tours, *, n_iters: int,
         trace_n=np.full((B,), trace_costs.shape[1], np.int64),
         chunk_times=[t0, t1],
         chunk_moves=np.stack([np.zeros_like(moves_n), moves_n], axis=1),
+        trace_moves=trace_moves.astype(np.int64),
     )
 
 

@@ -75,3 +75,22 @@ def test_pallas_sep_full_model_forward():
                      gat_impl="pallas_sep")
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-5, atol=2e-5)
+
+def test_pallas_sep_constant_features_finite():
+    """Tied group maxima (constant edge features) must not overflow.
+
+    Regression (round-5 ADVICE): M2 masked ALL elements tied at the group
+    max, so constant rows got M2 = -3e38 and B/D = exp(er + M - m)
+    overflowed to inf/NaN.  The fix masks exactly the first argmax
+    occurrence, as the XLA sep path does."""
+    n, n_heads, head_dim = 8, 2, 4
+    topo = build_topology(n)
+    rng = np.random.default_rng(7)
+    c_in = n_heads * head_dim
+    params = _params(rng, c_in, n_heads, head_dim)
+    x = jnp.ones((topo.n_edges, c_in), jnp.float32)  # constant -> tied logits
+    out = np.asarray(gat_conv_pallas_sep(params, topo, x, n_heads,
+                                         interpret=True))
+    assert np.isfinite(out).all()
+    ref = np.asarray(gat_conv_naive(params, topo, x, n_heads))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)

@@ -65,3 +65,31 @@ def test_cli_generate_resume_flag(tmp_path):
     cli.main([str(4), str(10), str(out), "--chunk", "2", "--resume"])
     d = gen.load_dataset(out / "instances.npz")
     assert d["regret"].shape[0] == 4
+
+
+def test_warm_labels_chunked_bounded_bouts(tmp_path):
+    """max_chunks bouts + mixed shard sizes reproduce an unbounded run.
+
+    Round 5: the axon worker dies after ~5 min of sustained dispatch load,
+    so production labeling runs as short bouts (max_chunks per process,
+    clean exit between) — shard sizes may then vary across restarts and
+    lost shards leave gaps that are refilled with exactly-sized shards."""
+    data = gen.generate_instances(8, 12, seed=5, solver="held_karp")
+    ref = {k: np.array(v) for k, v in data.items()}
+    full = lb.warm_labels_chunked(dict(ref), tmp_path / "full", chunk=3)
+
+    out = None
+    for bout in range(10):
+        out = lb.warm_labels_chunked(dict(ref), tmp_path / "b", chunk=2,
+                                     max_chunks=1)
+        if out is not None:
+            break
+    assert out is not None and bout == 3  # shards 0-2, then 3 + completion
+    np.testing.assert_array_equal(out["regret"], full["regret"])
+
+    # lose a middle 2-sized shard, refill with chunk=5: the gap gets an
+    # exactly-sized fill shard and the rest is reused
+    (tmp_path / "b" / "labels_00000004.npz").unlink()
+    out2 = lb.warm_labels_chunked(dict(ref), tmp_path / "b", chunk=5)
+    np.testing.assert_array_equal(out2["regret"], full["regret"])
+    np.testing.assert_array_equal(out2["opt_tour"], full["opt_tour"])
