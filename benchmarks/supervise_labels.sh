@@ -1,9 +1,9 @@
 #!/bin/bash
 # Round-5 label-phase supervisor: re-launch the resumable grow_tsp100 data
-# stage until the merged artifact exists.  Each attempt labels a bounded
-# bout (2 x 125-instance shards, ~4.5 min — under the axon worker's
-# ~5-min sustained-load crash horizon) then exits 3; crash losses are
-# bounded by one 125-instance shard.
+# stage until the merged artifact exists.  The labeler duty-cycles its
+# dispatches (45 work / 15 s idle, CRASH_ENVELOPE.md) which keeps the
+# degraded worker alive indefinitely; this loop is the crash safety net
+# (losses bounded by one 250-instance shard).
 cd /root/repo
 LOG=runs_grow_tsp100.log
 DONE=runs/tsp100_xl/extra_labeled.npz

@@ -73,7 +73,14 @@ def assemble_extra():
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", choices=("train", "eval", "all"), default="all")
-    ap.add_argument("--epochs", type=int, default=40)
+    # 20 epochs on the 10k set = 6250 optimizer steps, the SAME step budget
+    # as the production 2k model's 100 epochs — the dataset-size comparison
+    # then isolates data scale from compute budget (the per-epoch lr decay
+    # schedule still differs; noted in the results)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs-per-bout", type=int, default=1,
+                    help="epochs per process (CRASH_ENVELOPE bouts); "
+                         "<=0: unbounded")
     args = ap.parse_args(argv)
 
     import jax
@@ -100,12 +107,18 @@ def main(argv=None):
                        key=lambda p: p.stat().st_mtime)
         resume = cands[-1] if cands else None
         cfg = TrainConfig(n_epochs=args.epochs, val_on_train=False,
-                          checkpoint_freq=2)
+                          checkpoint_freq=1,
+                          max_epochs_per_call=(args.epochs_per_bout
+                                               if args.epochs_per_bout > 0
+                                               else None))
         t0 = time.time()
         _, _, history = train_model(train_set, val_set, cfg, run_dir,
                                     resume_from=resume)
         print(f"[train] {len(history)} epochs in {time.time()-t0:.0f}s",
               flush=True)
+        if not final.exists():
+            print("[train] bout done, more epochs remain", flush=True)
+            sys.exit(3)
     if args.stage == "train":
         return
 

@@ -30,6 +30,7 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
                         warm_gls_iters: int = 0, dual_splice: bool = True,
                         perturbation_moves: int = 20,
                         max_chunks: int | None = None,
+                        duty_work: int = 45, duty_idle_s: float = 15.0,
                         verbose: bool = False) -> dict | None:
     """Production regret labels: warm-start forced-edge oracle, crash-resumable.
 
@@ -76,9 +77,19 @@ def warm_labels_chunked(data: dict, shard_dir, *, chunk: int = 250,
     opt_tour = np.asarray(data["opt_tour"], dtype=np.int32).copy()
     opt = Ds[np.arange(N)[:, None], opt_tour[:, :-1], opt_tour[:, 1:]].sum(-1)
 
+    since_idle = [0]
+
     def compute_shard(s, e):
         t0 = time.time()
         for i in range(s, e):
+            # duty cycle (CRASH_ENVELOPE.md): the degraded axon worker dies
+            # after ~4-5 min of sustained dispatch, but survives indefinitely
+            # with periodic idle gaps (probe_duty_cycle.py: 45 work / 15 s
+            # idle ran 200 instances in one process, 7+ min)
+            if duty_work and since_idle[0] >= duty_work:
+                time.sleep(duty_idle_s)
+                since_idle[0] = 0
+            since_idle[0] += 1
             costs, used, tours = solvers.warm_fixed_edge_costs(
                 Ds[i], topo.edges, opt_tour[i], n_gls_iters=warm_gls_iters,
                 perturbation_moves=perturbation_moves,

@@ -279,6 +279,65 @@ def _warm_forced_solver(n: int, n_gls_iters: int, perturbation_moves: int,
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=32)
+def _warm_forced_solver_binst(n: int, n_gls_iters: int,
+                              perturbation_moves: int,
+                              dual_splice: bool = False):
+    """Instance-batched variant: one dispatch solves a whole instance GROUP.
+
+    vmaps the per-instance warm solver over (D, M, best_tour) with the edge
+    list shared.  Fewer, larger launches both utilize the chip better and
+    sit in the safe region of the degraded axon worker's crash envelope
+    (CRASH_ENVELOPE.md: many small back-to-back dispatches are the crash
+    trigger; few large launches survive)."""
+    import jax
+
+    inner = _warm_forced_solver(n, n_gls_iters, perturbation_moves,
+                                dual_splice)
+    return jax.jit(jax.vmap(inner, in_axes=(0, 0, None, 0)))
+
+
+def warm_fixed_edge_costs_batch(Ds: np.ndarray, edges: np.ndarray,
+                                best_tours: np.ndarray, *,
+                                n_gls_iters: int = 0,
+                                perturbation_moves: int = 20,
+                                dual_splice: bool = True,
+                                inst_chunk: int = 4):
+    """warm_fixed_edge_costs over a batch of instances, one dispatch per
+    `inst_chunk` group (full edge set per instance in the launch).
+
+    Returns (costs (B, E) f64, used (B, E) bool, tours (B, E, n+1) i32).
+    HBM note: each lane materializes an (n, n) big-M matrix plus move-delta
+    temporaries, ~0.5-1 GB per tsp100 instance transiently — inst_chunk=4-8
+    fits a 16 GB v5e comfortably.
+    """
+    import jax.numpy as jnp
+
+    Ds64 = np.asarray(Ds, dtype=np.float64)
+    B, n, _ = Ds64.shape
+    E = edges.shape[0]
+    best_tours = np.asarray(best_tours, dtype=np.int32)
+    solver = _warm_forced_solver_binst(n, n_gls_iters, perturbation_moves,
+                                       dual_splice)
+    ej = jnp.asarray(edges, jnp.int32)
+    tours = np.empty((B, E, n + 1), dtype=np.int32)
+    for s in range(0, B, inst_chunk):
+        e = min(s + inst_chunk, B)
+        pad = list(range(s, e)) + [s] * (inst_chunk - (e - s))
+        Dj = jnp.asarray(Ds64[pad], dtype=jnp.float32)
+        Ms = jnp.asarray(
+            [float(n * Ds64[i].max() + 1.0) for i in pad], jnp.float32)
+        btj = jnp.asarray(best_tours[pad])
+        t = np.asarray(solver(Dj, Ms, ej, btj))
+        tours[s:e] = t[: e - s]
+    a, b = tours[..., :-1], tours[..., 1:]
+    ii = np.arange(B)[:, None, None]
+    costs = Ds64[ii, a, b].sum(axis=-1)
+    eu, ev = edges[None, :, :1], edges[None, :, 1:2]
+    used = (((a == eu) & (b == ev)) | ((a == ev) & (b == eu))).any(axis=-1)
+    return costs, used, tours
+
+
 def warm_fixed_edge_costs(D: np.ndarray, edges: np.ndarray,
                           best_tour: np.ndarray, *, n_gls_iters: int = 2,
                           perturbation_moves: int = 20,

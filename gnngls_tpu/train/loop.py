@@ -50,6 +50,11 @@ class TrainConfig:
     bug_compat_bce_target: bool = True  # datasets.py:94 quirk
     depth_from_heads: bool = True  # models.py:60 quirk
     gat_impl: str = "fast"  # attention path; 'sep' = O(n^2) separable
+    # Crash-envelope bouts (CRASH_ENVELOPE.md): stop after this many epochs
+    # IN THIS CALL, persist a periodic checkpoint, and return WITHOUT
+    # writing checkpoint_final — callers treat the missing final as
+    # "incomplete, relaunch with resume_from".
+    max_epochs_per_call: Optional[int] = None
 
     def to_params_json(self) -> dict:
         """Reference-style params.json payload (train.py:165-168)."""
@@ -169,6 +174,21 @@ def train_model(train_set: TSPDataset, val_set: TSPDataset, cfg: TrainConfig,
             break
 
         lr *= cfg.lr_decay
+
+        if (cfg.max_epochs_per_call is not None
+                and epoch - start_epoch + 1 >= cfg.max_epochs_per_call
+                and epoch < cfg.n_epochs - 1):
+            ckpt.save_checkpoint(run_dir / f"checkpoint_{epoch}.npz",
+                                 params=state.params,
+                                 bn_state=state.bn_state,
+                                 opt_state=state.opt_state, epoch=epoch,
+                                 loss=epoch_loss, val_loss=epoch_val_loss)
+            metrics_f.close()
+            if verbose:
+                print(f"bout bound: stopping after epoch {epoch} "
+                      f"(no final checkpoint — resume to continue)",
+                      flush=True)
+            return state.params, state.bn_state, history
 
     ckpt.save_checkpoint(run_dir / "checkpoint_final.npz",
                          params=state.params, bn_state=state.bn_state,
