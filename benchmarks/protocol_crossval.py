@@ -67,6 +67,8 @@ def run(name="tsp100", n=100, subsample=50, time_limit=10.0, seed=0,
     # TRUE protocol: one instance at a time, 10 s wall-clock each
     wall_gaps, wall_moves, wall_s = [], [], []
     for i in range(len(test_set)):
+        if i and i % 3 == 0:
+            time.sleep(10)  # duty-cycle idle gap (CRASH_ENVELOPE.md)
         D1 = Ds[i:i + 1]
         init = np.asarray(batched.nearest_neighbor_batch(jnp.asarray(D1)))
         t0 = time.time()

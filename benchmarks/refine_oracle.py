@@ -74,8 +74,13 @@ def refine(name="tsp100", iters=400, pmoves=20, dry_rounds=2, max_rounds=8,
             inits = np.asarray(batched.nearest_neighbor_batch(
                 jnp.asarray(noised)))
             kind = f"diverse(noise={noise})"
-        res = batched.run_fixed(Ds, Ds[:, None], inits, n_iters=iters,
-                                perturbation_moves=pmoves)
+        # whole-search Pallas engine: ~5x the XLA engine's moves/s AND its
+        # n-scaled launch caps slice the batch into bounded launches with
+        # host gaps between — the safe shape for the degraded worker
+        # (CRASH_ENVELOPE.md); one run_fixed launch here would be a single
+        # multi-minute fori_loop, the known-fatal shape
+        res = batched.run_fixed_pallas(Ds, Ds[:, None], inits, n_iters=iters,
+                                       perturbation_moves=pmoves)
         tours = np.asarray(res.best_tours, dtype=np.int32)
         costs = Dd[np.arange(B)[:, None], tours[:, :-1], tours[:, 1:]].sum(-1)
         improved = costs < best - 1e-9

@@ -7,11 +7,13 @@
 cd /root/repo
 LOG=runs_grow_tsp100.log
 DONE=runs/tsp100_xl/extra_labeled.npz
-for attempt in $(seq 1 90); do
+for attempt in $(seq 1 200); do
   if [ -f "$DONE" ]; then
     echo "=== labels complete (attempt $attempt) $(date +%H:%M:%S)" | tee -a "$LOG"
     exit 0
   fi
+  # .chip_lock: another chip job (measurement phase) holds the TPU — wait
+  while [ -f /root/repo/.chip_lock ]; do sleep 20; done
   echo "=== R5 L$attempt $(date +%H:%M:%S)" >> "$LOG"
   timeout 3600 python benchmarks/grow_tsp100.py --extra 8000 --stage data >> "$LOG" 2>&1
   rc=$?

@@ -81,10 +81,20 @@ def stage_predict(data, model_name, gat_impl, batch_size):
     params, bn_state, _, _ = ckpt.load_checkpoint(
         mdir / "checkpoint_best_val.npz", params_like=tmpl_p,
         bn_state_like=tmpl_b)
-    t0 = time.time()
-    pred = ev.predict_regret(params, bn_state, cfg, ds,
-                             batch_size=batch_size, gat_impl=gat_impl)
-    dt = time.time() - t0
+    pred = None
+    for impl in gat_impl.split(","):
+        try:
+            t0 = time.time()
+            pred = ev.predict_regret(params, bn_state, cfg, ds,
+                                     batch_size=batch_size, gat_impl=impl)
+            dt = time.time() - t0
+            gat_impl = impl
+            break
+        except Exception as exc:  # noqa: BLE001 — try the next impl
+            print(f"[predict] {impl} failed: "
+                  f"{type(exc).__name__}: {exc}"[:160], flush=True)
+    if pred is None:
+        raise RuntimeError("every gat_impl in the fallback chain failed")
     E = pred.shape[1]
     print(f"[predict] {len(pred)} x {E} edges via {gat_impl} in {dt:.1f}s "
           f"({len(pred)*E/dt:.3g} edges/s)", flush=True)
@@ -129,7 +139,8 @@ def main(argv=None):
     ap.add_argument("--budgets", type=str, default="10,40")
     ap.add_argument("--model", default=None,
                     help="model dir name (default tsp100_xl if present)")
-    ap.add_argument("--gat-impl", default="sep_fast")
+    ap.add_argument("--gat-impl", default="pallas_sep_fast,chunked,sep_fast",
+                    help="comma fallback chain for the n=500 forward")
     ap.add_argument("--batch-size", type=int, default=4)
     args = ap.parse_args(argv)
     budgets = tuple(int(b) for b in args.budgets.split(","))
