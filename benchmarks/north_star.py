@@ -116,7 +116,9 @@ def bench_inference(n=100, B=128,
             print(f"[inference {impl}] FAILED: {out[impl]['error'][:120]}",
                   flush=True)
             continue
-        peak = (V5E_PEAK_BF16 if impl in ("bf16", "sep_fast")
+        base_impl = impl.partition("@")[0]
+        peak = (V5E_PEAK_BF16
+                if base_impl in ("bf16",) or base_impl.endswith("fast")
                 else V5E_PEAK_F32)
         out[impl] = {
             "n": n, "batch": B, "s_per_forward": dt,
@@ -131,7 +133,7 @@ def bench_inference(n=100, B=128,
             # tradition — not hardware utilization of executed flops.
             "model_flops_per_s": flops / dt,
             "mfu_vs_v5e_peak": flops / dt / peak,
-            "flops_accounting": ("dense-equivalent" if impl.startswith("sep")
+            "flops_accounting": ("dense-equivalent" if "sep" in impl
                                  else "executed"),
         }
         print(f"[inference {impl}] {dt*1e3:.1f} ms/fwd  "
@@ -333,6 +335,15 @@ def write_md(results):
             "machinery adds nothing and the row sits at the host's compute "
             "ceiling.  On real multi-chip hardware (own cores/HBM per "
             "device) the eff columns become meaningful.",
+            "",
+            "Round-5 diagnosis of the former GLS overhead (1.19x at 2/4 "
+            "devices, r3): under globally-sharded jit the vmapped GLS "
+            "while_loop conditions reduce over the GLOBAL batch, so every "
+            "iteration synchronized all devices and ran to the global "
+            "lockstep maximum.  eval_shard now uses shard_map (each device "
+            "converges its local shard independently, zero collectives); "
+            "A/B at identical instances measured the old path 1.20/1.76/"
+            "1.19/1.46x slower at 1/2/4/8 devices with identical results.",
             "",
             "| devices | batch | train ms/step | eff | ovh vs single "
             "| GLS ms/batch | eff | ovh vs single | host ceiling |",

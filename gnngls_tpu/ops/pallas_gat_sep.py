@@ -94,15 +94,20 @@ def _sep_kernel(el_ref, er_ref, hv_ref, m_ref, z_ref, num_ref, *,
         hv = hv_ref[0, :, :, h, :]                            # (gc, K, F)
         Ah = A[:, :, None].astype(hv.dtype) * hv
         Ch = C[:, :, None].astype(hv.dtype) * hv
+        # f32 payloads keep HIGHEST (bf16x6-exact) matmul precision — at
+        # DEFAULT the f32 operands round to bf16 and hardware parity
+        # degrades to ~1e-3; bf16 payloads (fast mode) use the native pass
+        prec = (jax.lax.Precision.HIGHEST if hv.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         for g in range(gc):
             np_ = jax.lax.dot_general(
                 pos_f[g].astype(hv.dtype), Ah[g],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             nn_ = jax.lax.dot_general(
                 neg_f[g].astype(hv.dtype), Ch[g],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             num_ref[0, g, :, h, :] = B[g][:, None] * np_ + D[g][:, None] * nn_
 
         m_ref[0, :, :, h] = m
@@ -141,8 +146,19 @@ def gat_conv_pallas_sep_partials(params: GATParams, topo: LineGraphTopology,
     kernel = functools.partial(_sep_kernel, gc=group_chunk, n_heads=n_heads)
     grid = (Bf, n // group_chunk)
     gc = group_chunk
+    # The (.., K, H, F) tiles pad F=16 to the 128-lane minor dim, so the
+    # scoped-VMEM live set exceeds the 16 MB default even at gc=1 (measured
+    # 19.57M on the remote compiler, round 5); v5e has far more physical
+    # VMEM — raise the cap like search/pallas_gls.py does for n>=256.
+    compiler_params = None
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     m_g, z_g, num_g = pl.pallas_call(
         kernel,
+        compiler_params=compiler_params,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, gc, K, n_heads), lambda b, c: (b, c, 0, 0)),
