@@ -51,8 +51,8 @@ def wip_restore(dst_dir: pathlib.Path, pattern: str):
             shutil.copy2(p, dst)
 
 
-def stage_data(n_extra: int, label_chunk: int = 250,
-               max_label_chunks: int | None = None) -> dict:
+def stage_data(n_extra: int, label_chunk: int = 90,
+               max_label_chunks: int | None = 2) -> dict:
     from gnngls_tpu.data import generate, labels
 
     merged = RUN / "extra_labeled.npz"
@@ -130,8 +130,8 @@ def main(argv=None):
     ap.add_argument("--extra", type=int, default=5300)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--stage", choices=("all", "data", "train"), default="all")
-    ap.add_argument("--label-chunk", type=int, default=250)
-    ap.add_argument("--max-label-chunks", type=int, default=0,
+    ap.add_argument("--label-chunk", type=int, default=90)
+    ap.add_argument("--max-label-chunks", type=int, default=2,
                     help="new label shards per process (<=0: unbounded)")
     args = ap.parse_args(argv)
 
