@@ -135,9 +135,24 @@ def gls_oracle(Ds: np.ndarray, *, n_iters: int = 25, perturbation_moves: int = 3
     import jax
     import jax.numpy as jnp
 
-    from ..search import construct, local_search as ls
+    from ..search import batched, construct, local_search as ls
 
     Ds = np.asarray(Ds, dtype=np.float32)
+
+    # Prefer the whole-search Pallas kernel: ~5x (n=100) to ~14x (n=500)
+    # the XLA engine's moves/s, and its n-scaled launch caps produce
+    # bounded launches instead of one multi-minute vmapped fori_loop —
+    # the known-fatal shape on the degraded worker (CRASH_ENVELOPE.md).
+    if jax.default_backend() == "tpu":  # interpret mode would crawl on CPU
+        try:
+            inits = np.asarray(
+                batched.nearest_neighbor_batch(jnp.asarray(Ds)))
+            res = batched.run_fixed_pallas(
+                Ds, Ds[:, None], inits, n_iters=n_iters,
+                perturbation_moves=perturbation_moves)
+            return res.best_tours.astype(np.int32), res.best_costs
+        except Exception:  # noqa: BLE001 — kernel ceiling: XLA fallback
+            pass
 
     def solve(D):
         init = construct.nearest_neighbor(D, 0)
