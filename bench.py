@@ -126,6 +126,11 @@ def main():
                     "inference_flops_accounting": best.get(
                         "flops_accounting", "executed"),
                 }
+            n500 = (json.loads(ns.read_text())
+                    .get("pallas_gls_large_n", {}).get("500", {}))
+            if "moves_per_s" in n500:
+                out.setdefault("extra", {})["gls_n500_moves_per_s"] = round(
+                    n500["moves_per_s"], 1)
         except Exception:
             pass
     print(json.dumps(out))
