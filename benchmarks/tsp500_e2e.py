@@ -236,7 +236,7 @@ def main(argv=None):
         "(self-consistent minima; Concorde/LKH unavailable — NOT proven "
         "optima).",
         f"Regret model: {model} (trained at n=100) applied at n=500 via the "
-        f"separable O(n^2) forward (`{args.gat_impl}`).  "
+        f"`{args.gat_impl}` large-n forward.  "
         f"Engine: {engine}" + ("" if ok else
                                f" (pallas n=500 probe: {err})") + ".",
         "",
